@@ -348,6 +348,28 @@ def decode_bytes(data: bytes | None) -> str:
     return data.decode("utf-8", errors="ignore")
 
 
+def decode_html_bytes(data: bytes | None) -> str:
+    """HTML-appropriate decode: BOM-aware, then utf-8 → gb18030 → lossy utf-8.
+
+    Unlike :func:`decode_bytes` (reference text-payload order, which tries
+    utf-16 before gb18030 and so mis-decodes even-length GBK HTML into
+    garbage), HTML is ASCII-compatible — utf-16 without a BOM is not a
+    realistic page encoding.
+    """
+    if data is None:
+        return ""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", errors="ignore")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", errors="ignore")
+    for enc in ("utf-8", "gb18030"):
+        try:
+            return data.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return data.decode("utf-8", errors="ignore")
+
+
 # --- URLs ---------------------------------------------------------------------
 
 

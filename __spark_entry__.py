@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()``/``oracle_sql()`` are backed by the registry in
+``icrawler_spark.queries`` — every entry is a SURVEY.md §2 operator (or a
+training-data curation op) with an exactly-matching DuckDB oracle; the local
+mirror of the driver's gate is ``tests/test_oracle_parity.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icrawler_spark.queries import all_oracles, all_queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web-corpus curation pipeline over sf0.001 ``documents`` —
+    exact-dedup canonical pick joined back to per-doc quality/lang stats,
+    rolled up per (lang, source)."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.queries.textops import exact_dedup, quality_score
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = exact_dedup(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id"), "n_copies"
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        docs.join(canon, "doc_id")  # keep only canonical docs
+        .join(q, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_raw_copies"),
+            F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias("quality_sum_micro"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

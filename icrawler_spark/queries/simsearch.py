@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Brute-force cosine top-k as the correctness baseline, random-hyperplane LSH
+bucketing as the scale path, embedding-cosine near-dup pairs, and exact
+per-label centroids.
+
+Float determinism: every reduction is a *sequential left fold* (Spark
+``F.aggregate`` / DuckDB ``list_reduce``) over vectors cast to double, so both
+engines execute the identical sequence of IEEE-754 ops and produce
+bit-identical doubles — no tolerance needed in the oracle compare.
+
+Scale notes (100 TB / 10^10 vectors): brute-force KNN is a broadcast of the
+query side against a full scan (fine for few queries); the LSH path turns ANN
+into an equi-join on an 8-bit (configurable) bucket key, and centroids are one
+hash aggregation. The hyperplanes come from a deterministic LCG so executors
+regenerate them locally — nothing random, nothing shipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load
+
+_DIM = 64
+_N_PLANES = 8
+_LCG_M = 2147483648  # 2^31
+
+
+def _vec(col="embedding"):
+    return F.col(col).cast("array<double>")
+
+
+def _fold_sum(arr):
+    """Sequential left fold — the determinism primitive."""
+    return F.aggregate(arr, F.lit(0.0), lambda s, x: s + x)
+
+
+def _dot(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB twins: products via index transform (1-based), sequential list_reduce.
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), i -> {a}[i] * {b}[i])), (s, x) -> s + x)"
+)
+
+
+def _dot_sql(a, b):
+    return _DOT_SQL.format(a=a, b=b, n=_DIM + 1)
+
+
+def _cosine_sql(a, b):
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+_VEC_SQL = "CAST({c} AS DOUBLE[])"
+
+
+def knn_brute_force(spark, sf_dir):
+    """Brute-force cosine top-k: query vector (vec_id=0) broadcast against
+    the full table; TakeOrderedAndProject keeps only k rows per partition.
+    SURVEY §2.6 top-k pattern on the embedding axis."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(_vec().alias("qv"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(_vec(), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+KNN_BRUTE_FORCE_SQL = f"""
+SELECT vec_id, {_cosine_sql('v', 'qv')} AS cosine
+FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings WHERE vec_id <> 0),
+     (SELECT {_VEC_SQL.format(c='embedding')} AS qv FROM embeddings WHERE vec_id = 0)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _lsh_bucket(vec):
+    """8 deterministic LCG hyperplanes → sign bits → bucket id ∈ [0, 256).
+
+    plane[j][d] = lcg(j·64+d)/2^31 − 0.5 with lcg(k) = (1103515245·k+12345)
+    mod 2^31 — exact BIGINT arithmetic then exact power-of-two division, so
+    the plane values are bit-identical everywhere they are regenerated.
+    """
+    def plane_dot(j):
+        prods = F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda i: F.element_at(vec, i.cast("int"))
+            * (((F.lit(1103515245).cast("long") * (j * _DIM + (i - 1)) + 12345) % _LCG_M) / float(_LCG_M) - 0.5),
+        )
+        return _fold_sum(prods)
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
+        lambda j: F.when(plane_dot(j) > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+_LSH_BUCKET_SQL = f"""
+list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, {_N_PLANES}), j ->
+  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}),
+         i -> v[i] * (((1103515245 * (j * {_DIM} + (i - 1)) + 12345) % {_LCG_M}) / {_LCG_M}.0 - 0.5))),
+       (s, x) -> s + x) > 0
+  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (s, x) -> s + x)
+"""
+
+
+def lsh_buckets(spark, sf_dir):
+    """ANN index build: every vector → its LSH bucket (the shuffle key of
+    the scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _lsh_bucket(_vec()).alias("bucket"))
+
+
+LSH_BUCKETS_SQL = f"""
+SELECT vec_id, {_LSH_BUCKET_SQL} AS bucket
+FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """ANN query via LSH: candidates = vectors sharing the query's bucket
+    (equi-join on bucket — no cross join), re-ranked by exact cosine."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket")
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH withb AS (
+  SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+)
+SELECT a.vec_id, {_cosine_sql('a.v', 'q.v')} AS cosine
+FROM withb a, (SELECT * FROM withb WHERE vec_id = 0) q
+WHERE a.bucket = q.bucket AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+def cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99, candidates
+    bounded by label equality (scale path would use lsh_buckets as the
+    join key instead)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", _vec().alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.99)
+    )
+
+
+COSINE_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cosine_sql('a.v', 'b.v')} AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
+"""
+
+
+def label_centroids(spark, sf_dir):
+    """Exact deterministic centroids: per label, vectors are collected
+    sorted by vec_id and folded sequentially per dimension — aggregation
+    order is pinned, so the resulting doubles are engine-identical.
+    (At extreme scale swap for two-level tree aggregation with fixed fan-in;
+    here the per-label group fits comfortably.) Output exploded to
+    (label, dim, value) rows."""
+    e = load(spark, sf_dir, "embeddings")
+    grouped = (
+        e.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", _vec().alias("v")))).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    centroid = F.transform(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        lambda i: F.aggregate(
+            F.col("vs"), F.lit(0.0), lambda s, x: s + F.element_at(x["v"], i.cast("int"))
+        )
+        / F.col("n"),
+    )
+    return (
+        grouped.select("label", "n", F.posexplode(centroid).alias("dim0", "value"))
+        .select("label", "n", (F.col("dim0") + 1).cast("long").alias("dim"), "value")
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH g AS (
+  SELECT label, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
+  FROM (SELECT label, vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+  GROUP BY label
+)
+SELECT label, n, i AS dim,
+       list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y) / n AS value
+FROM g, (SELECT unnest(range(1, {_DIM + 1})) AS i)
+"""
+
+
+QUERIES = {
+    "knn_brute_force": (knn_brute_force, KNN_BRUTE_FORCE_SQL),
+    "lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
+    "cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+}

@@ -1,0 +1,451 @@
+"""Training-data text operators over the ``documents`` table.
+
+Covers the large-scale pipeline ops the reference's text/search layer implies
+(SURVEY.md §2.9-§2.10) plus the web-corpus curation set: exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard, language-ID heuristic,
+quality scoring, token counting, and rolling-hash fingerprinting.
+
+All hot-path expressions are JVM-native Column ops (whole-stage codegen); the
+only hashes used are md5 (bit-identical in Spark and DuckDB) and exact BIGINT
+modular arithmetic, so every query here has a value-exact DuckDB oracle.
+
+Scale notes (100 TB): per-doc ops are embarrassingly parallel map stages;
+pair-generation always goes through a bucketing key (md5 of content /
+LSH band / SimHash prefix) so the shuffle joins on a bounded-fanout key
+instead of a cross join. The O(n²)-per-bucket verify stage touches only
+candidate pairs, which is the standard MinHash-LSH contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load
+
+# 48-bit md5-prefix hash: exact in BIGINT in both engines, no sign issues.
+_HEX_DIGITS = 12
+# modulus for the minhash permutation family (prime < 1e15 so a*h+b stays
+# well inside signed-64 range: h < 2^48≈2.8e14, a ≤ 2k → a*h+b < 6e17).
+_MINHASH_P = 999999999999989
+_NUM_PERMS = 16
+_BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def _tokens(col):
+    """Whitespace tokenization — identical regex semantics in both engines."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _hash48(col):
+    """md5-prefix → BIGINT. Deterministic, engine-portable."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_DIGITS), 16, 10).cast("long")
+
+
+_TOKENS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+_HASH48_SQL = "(('0x' || substr(md5({c}), 1, 12))::BIGINT)"
+
+
+# --- per-doc stats ------------------------------------------------------------
+
+
+def token_stats(spark, sf_dir):
+    """Token counting (whitespace tokens + distinct tokens + chars)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM (SELECT doc_id, text, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Quality scoring: mean token length, type/token ratio, stopword ratio,
+    and a composite score. All ratios are exact-int divisions → identical
+    doubles in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    ttr = n_dist / n_tok
+    stop_ratio = n_stop / n_tok
+    return d.select(
+        "doc_id",
+        "lang",
+        mean_tok_len.alias("mean_token_len"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_dist / n_tok) * 2.0 + n_stop / n_tok).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id, lang,
+       (n_chars - (n_tok - 1)) / n_tok AS mean_token_len,
+       n_dist / n_tok AS type_token_ratio,
+       n_stop / n_tok AS stopword_ratio,
+       (n_dist / n_tok) * 2.0 + n_stop / n_tok AS quality
+FROM (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(t) AS BIGINT) AS n_tok,
+         CAST(length(list_distinct(t)) AS BIGINT) AS n_dist,
+         CAST(length(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, lang, text, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+)
+"""
+
+
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-token hit counts per language, argmax
+    with a deterministic tie order (en > es > de > und)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hits(*words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    en = hits("the", "a", "of", "and", "is")
+    es = hits("el", "la", "de", "que", "los")
+    de = hits("der", "die", "das", "und", "ist")
+    guess = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select("doc_id", en.alias("en_hits"), es.alias("es_hits"), de.alias("de_hits"), guess.alias("lang_guess"))
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, en_hits, es_hits, de_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM (
+  SELECT doc_id,
+    CAST(length(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+    CAST(length(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS BIGINT) AS es_hits,
+    CAST(length(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits
+  FROM (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+)
+"""
+
+
+def fingerprint(spark, sf_dir):
+    """Document fingerprinting: polynomial rolling hash over the first 256
+    chars (base 131, mod 1e9+7) — a sequential fold, bit-identical across
+    engines. Ref analog: content identity for the URL-seen set."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.col("text"), 1, 256)
+    roll = F.aggregate(
+        F.split(prefix, ""),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 131 + F.ascii(c)) % 1000000007,
+    )
+    return d.select("doc_id", roll.alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(substr(text, 1, 256), ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+         (h, x) -> (h * 131 + x) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+# --- dedup family -------------------------------------------------------------
+
+
+def exact_dedup(spark, sf_dir):
+    """Exact dedup: md5(content) groups, canonical = min(doc_id).
+    At 100 TB this is one hash-shuffle on a 128-bit key; the map side
+    computes md5 in codegen, AQE coalesces the mostly-size-1 groups."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(col, k=3):
+    """Distinct word k-shingles as strings (1-based element_at)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: 3-word shingles, pairs with J ≥ 0.8.
+
+    Correctness form joins within ``lang`` partitions (bounded fanout); the
+    scale path is minhash_lsh_pairs below, which replaces the quadratic
+    candidate generation with band buckets.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _shingles(F.col("text")).alias("sh")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
+    union = (F.size("a.sh") + F.size("b.sh")).cast("long") - inter
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, lang, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT)
+         / (CAST(length(a.sh) + length(b.sh) AS BIGINT) - length(list_intersect(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT)
+      / (CAST(length(a.sh) + length(b.sh) AS BIGINT) - length(list_intersect(a.sh, b.sh))) >= 0.8
+"""
+
+
+def _minhash_perm_cols():
+    """Deterministic permutation family h_i(x) = (a_i·x + b_i) mod p."""
+    return [(2 * i + 1, 12289 * i + 1) for i in range(_NUM_PERMS)]
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures: shingle→hash48→min over 16 permutations,
+    exploded to (doc_id, perm, minhash) rows for stable hashing."""
+    d = load(spark, sf_dir, "documents")
+    hashes = F.transform(_shingles(F.col("text")), lambda s: _hash48(s))
+
+    def _perm(a, b):
+        # closure factory: pyspark infers HOF arity from the lambda signature,
+        # so the permutation constants must be captured, not default-args
+        return lambda h: (h * a + b) % _MINHASH_P
+
+    perm_cols = []
+    for i, (a, b) in enumerate(_minhash_perm_cols()):
+        mh = F.array_min(F.transform(hashes, _perm(a, b)))
+        perm_cols.append(F.struct(F.lit(i).cast("long").alias("perm"), mh.alias("minhash")))
+    return (
+        d.select("doc_id", F.explode(F.array(*perm_cols)).alias("s"))
+        .select("doc_id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash"))
+    )
+
+
+def _minhash_sig_sql_inner():
+    structs = ", ".join(
+        "{'perm': CAST(%d AS BIGINT), "
+        "'minhash': list_min(list_transform(hs, h -> (h * %d + %d) %% %d))}" % (i, a, b, _MINHASH_P)
+        for i, (a, b) in enumerate(_minhash_perm_cols())
+    )
+    return f"""
+  SELECT doc_id, unnest([{structs}], recursive := false) AS s
+  FROM (
+    SELECT doc_id, list_transform(sh, s -> {_HASH48_SQL.format(c='s')}) AS hs
+    FROM (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+    )
+  )
+"""
+
+
+MINHASH_SIGNATURES_SQL = f"""
+SELECT doc_id, s.perm AS perm, s.minhash AS minhash FROM ({_minhash_sig_sql_inner()})
+"""
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup: band the 16-perm signature into 4 bands of 4
+    rows, bucket-join on (band, md5(band values)), verify candidates with
+    estimated Jaccard = matching perms / 16 ≥ 0.5.
+
+    This is the 100 TB dedup path: candidate generation is an equi-join on
+    the band key (shuffle bounded by bucket sizes), never a cross join.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / _BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("rows"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.to_json(F.col("rows"))).alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(_NUM_PERMS)).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+    return est
+
+
+# Oracle avoids the band-key hashing (json formatting differs across engines):
+# candidates = pairs agreeing on ALL perms of at least one band — identical
+# semantics to equality of the band's (perm, minhash) list.
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, s.perm AS perm, s.minhash AS minhash FROM ({_minhash_sig_sql_inner()})
+),
+bands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.perm // {_BAND_ROWS} AS band,
+         SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS n_match
+  FROM sig a JOIN sig b ON a.perm = b.perm AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM bands WHERE n_match = {_BAND_ROWS}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT) / {_NUM_PERMS}.0 AS est_jaccard
+FROM cand c
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b AND b.perm = a.perm
+GROUP BY c.doc_a, c.doc_b
+HAVING CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT) / {_NUM_PERMS}.0 >= 0.5
+"""
+
+
+def simhash(spark, sf_dir):
+    """48-bit SimHash per document: per-bit majority vote over token hash48
+    bits, assembled into one BIGINT. Native nested transform/aggregate —
+    stays in codegen; the pandas-UDF twin for very long docs lives in
+    functions.pandas_udfs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    hashes = F.transform(toks, lambda t: _hash48(t))
+    # bit_get accepts a Column position; 2^j via pow() is exact for j ≤ 47
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(47)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.bit_get(h, j).cast("long") * 2 - 1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(47)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+SIMHASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(0, 48), j ->
+           CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+         (acc, x) -> acc + x) AS simhash
+FROM (
+  SELECT doc_id, list_transform(list_distinct(t), s -> {_HASH48_SQL.format(c='s')}) AS hs
+  FROM (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+)
+"""
+
+
+def simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup: pairs with Hamming distance ≤ 6 over the 48-bit
+    signature. Candidate generation buckets on the top-16-bit prefix (at
+    scale: multi-table SimHash pigeonhole); verify with bit_count(xor)."""
+    sh = simhash(spark, sf_dir).withColumn("prefix", F.shiftright(F.col("simhash"), 32))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+    )
+
+
+SIMHASH_DUP_SQL = f"""
+WITH sh AS ({SIMHASH_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM (SELECT doc_id, simhash, simhash >> 32 AS prefix FROM sh) a
+JOIN (SELECT doc_id, simhash, simhash >> 32 AS prefix FROM sh) b
+  ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+QUERIES = {
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "fingerprint": (fingerprint, FINGERPRINT_SQL),
+    "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "simhash": (simhash, SIMHASH_SQL),
+    "simhash_dup_pairs": (simhash_dup_pairs, SIMHASH_DUP_SQL),
+}

@@ -1,0 +1,20 @@
+"""Batch-iterative crawl engine: frontier loop over snapshot tables.
+
+The PySpark-native replacement for the reference's single-threaded monitor
+loop (ref pbc_monitor.py:1090-1207): each round reads the pending frontier,
+filters seen URLs (Bloom pre-filter + exact anti-join), enforces per-host
+politeness budgets by window rank, "fetches" by joining the pages table,
+parses with Arrow-batched UDFs, and MERGEs the results back — checkpointing
+every round so a killed job resumes deterministically.
+"""
+
+from .frontier import CrawlEngine, CrawlConfig
+from .synthetic import build_site, site_pages_df, synthetic_pages_df
+
+__all__ = [
+    "CrawlEngine",
+    "CrawlConfig",
+    "build_site",
+    "site_pages_df",
+    "synthetic_pages_df",
+]

@@ -1,0 +1,231 @@
+"""Crawl state tables + snapshot checkpointing (Iceberg stand-in).
+
+The reference keeps all state in one JSON file rewritten after every download
+(ref state.py:368-381 — the 10^10-scale bottleneck). Here state lives in
+parquet snapshot tables committed once per round with an atomic marker, which
+gives the two properties the north_rule demands:
+
+- *resumability*: a killed job resumes from the last committed round — the
+  commit marker is written only after every table of the round is fully on
+  disk (write-ahead ordering, rename-free because parquet dirs are written
+  once and never mutated);
+- *per-partition lineage/metrics*: each round commits a metrics table keyed
+  by (round, stage) with row counts per stage.
+
+On a real cluster these tables are Iceberg ``MERGE INTO`` targets; the merge
+functions below implement the same upsert semantics as deterministic
+DataFrame batch operations (one merge per table per round — SURVEY §4 hard
+part (d)).
+
+Merge semantics replicated from the reference:
+- ``merge_seen``     — per-URL upsert; ``downloaded`` is never un-set
+                       (ref state.py:164-172, 186-228)
+- ``resolve_entry_identity`` — incoming entries adopt the entry_id of any
+                       existing entry sharing a document URL; otherwise a
+                       derived id: first html doc url → first doc url →
+                       title::remark → serial::N (ref state.py:17-44, 56-132)
+- ``merge_documents`` — per-(entry,url) dedup, first-wins in discovery order
+                       (ref state.py:134-184)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SEEN_SCHEMA = (
+    "url string, entry_id string, title string, doc_type string, "
+    "downloaded boolean, local_path string"
+)
+
+FRONTIER_SCHEMA = (
+    "task string, url string, netloc string, depth int, discovered_round int, "
+    "discovery_pos bigint, status string"
+)
+
+
+class SnapshotStore:
+    """Per-round parquet snapshots with atomic commit markers."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round={rnd:06d}")
+
+    def _marker(self, rnd: int) -> str:
+        return os.path.join(self._round_dir(rnd), "_COMMITTED")
+
+    def latest_committed_round(self) -> int | None:
+        rounds = []
+        if not os.path.isdir(self.root):
+            return None
+        for name in os.listdir(self.root):
+            if name.startswith("round=") and os.path.exists(
+                os.path.join(self.root, name, "_COMMITTED")
+            ):
+                rounds.append(int(name.split("=")[1]))
+        return max(rounds) if rounds else None
+
+    def write_round(self, rnd: int, tables: dict[str, DataFrame]) -> None:
+        rdir = self._round_dir(rnd)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(rdir, name))
+        with open(self._marker(rnd), "w") as fh:
+            fh.write("ok\n")  # marker last — commit point
+
+    def read(self, rnd: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._round_dir(rnd), name))
+
+    def has_table(self, rnd: int, name: str) -> bool:
+        return os.path.isdir(os.path.join(self._round_dir(rnd), name))
+
+
+# --- merge semantics ----------------------------------------------------------
+
+
+def merge_seen(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """MERGE INTO seen USING batch ON url (ref state.py:173-228).
+
+    - new URLs are inserted;
+    - matched URLs update title/type/path but ``downloaded`` only upgrades
+      false→true, never the reverse (ref state.py:164-172);
+    - within a batch, first-wins by discovery order (``_src_pos``).
+    """
+    b = batch
+    if "_src_pos" not in b.columns:
+        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+    b = b.withColumn("_is_new", F.lit(1))
+    if existing is not None:
+        e = existing.withColumn("_src_pos", F.lit(-1).cast("long")).withColumn("_is_new", F.lit(0))
+        b = e.unionByName(b.select(*e.columns))
+    w = Window.partitionBy("url").orderBy("_is_new", "_src_pos")
+    dl = Window.partitionBy("url")
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_dl", F.max(F.coalesce(F.col("downloaded"), F.lit(False)).cast("int")).over(dl))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            "entry_id",
+            "title",
+            "doc_type",
+            (F.col("_dl") == 1).alias("downloaded"),
+            "local_path",
+        )
+    )
+
+
+def resolve_entry_identity(new_entries: DataFrame, existing_documents: DataFrame | None) -> DataFrame:
+    """Assign entry_id to incoming parsed entries (ref state.py:17-44, 59-86).
+
+    new_entries: (task, page_url, entry_pos, serial, title, remark,
+    documents:array<struct{doc_type,url,title}>).
+
+    Identity resolution = explode incoming doc URLs, left-join existing
+    ``documents(entry_id, url)``, adopt the first matching entry_id (by doc
+    position); otherwise derive: first html doc url → first doc url →
+    'title::remark' → 'serial::N'.
+    """
+    ne = new_entries.withColumn(
+        "_eid", F.monotonically_increasing_id()
+    )
+    derived = (
+        F.coalesce(
+            F.filter(F.col("documents"), lambda d: d["doc_type"] == "html")[0]["url"],
+            F.col("documents")[0]["url"],
+            F.when(
+                (F.coalesce(F.col("title"), F.lit("")) != "")
+                | (F.coalesce(F.col("remark"), F.lit("")) != ""),
+                F.concat_ws("::", F.coalesce(F.col("title"), F.lit("")), F.coalesce(F.col("remark"), F.lit(""))),
+            ),
+            F.concat(F.lit("serial::"), F.col("serial").cast("string")),
+        )
+    )
+    ne = ne.withColumn("_derived_id", derived)
+    if existing_documents is None:
+        return ne.withColumn("entry_id", F.col("_derived_id")).drop("_eid", "_derived_id")
+
+    exploded = ne.select(
+        "_eid", F.posexplode_outer("documents").alias("_pos", "_doc")
+    ).select("_eid", "_pos", F.col("_doc.url").alias("_durl"))
+    match = (
+        exploded.join(
+            existing_documents.select(F.col("url").alias("_durl"), F.col("entry_id").alias("_matched")),
+            "_durl",
+        )
+        .groupBy("_eid")
+        .agg(F.min_by("_matched", "_pos").alias("_matched"))
+    )
+    return (
+        ne.join(match, "_eid", "left")
+        .withColumn("entry_id", F.coalesce(F.col("_matched"), F.col("_derived_id")))
+        .drop("_eid", "_derived_id", "_matched")
+    )
+
+
+def merge_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Per-(entry_id, url) dedup, existing rows win, then first-in-batch
+    (ref state.py:134-184). batch: (entry_id, url, doc_type, title, _src_pos)."""
+    b = batch
+    if "_src_pos" not in b.columns:
+        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+    b = b.withColumn("_is_new", F.lit(1))
+    if existing is not None:
+        e = existing.withColumn("_src_pos", F.lit(-1).cast("long")).withColumn("_is_new", F.lit(0))
+        b = e.unionByName(b.select(*e.columns))
+    w = Window.partitionBy("entry_id", "url").orderBy("_is_new", "_src_pos")
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("entry_id", "url", "doc_type", "title", "_src_pos")
+        .drop("_src_pos")
+    )
+
+
+def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Entry metadata upsert (ref state.py:94-132): matched entries update
+    title/remark in place but KEEP their existing serial; new entries whose
+    serial collides with an existing one get max(serial)+row_number.
+
+    batch: (entry_id, task, serial, title, remark, _src_pos)."""
+    b = batch
+    if "_src_pos" not in b.columns:
+        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+    first_w = Window.partitionBy("entry_id").orderBy("_src_pos")
+    b = b.withColumn("_rn", F.row_number().over(first_w)).where(F.col("_rn") == 1).drop("_rn")
+
+    if existing is None:
+        return b.select("entry_id", "task", "serial", "title", "remark")
+
+    e = existing
+    updated = (
+        e.alias("e")
+        .join(b.alias("b"), "entry_id", "left")
+        .select(
+            "entry_id",
+            F.col("e.task").alias("task"),
+            F.col("e.serial").alias("serial"),  # keep existing serial
+            F.coalesce(F.col("b.title"), F.col("e.title")).alias("title"),
+            F.coalesce(F.col("b.remark"), F.col("e.remark")).alias("remark"),
+        )
+    )
+    fresh = b.join(e.select("entry_id"), "entry_id", "left_anti")
+    taken = e.select("serial").where(F.col("serial").isNotNull()).distinct()
+    max_serial = e.agg(F.coalesce(F.max("serial"), F.lit(0)).alias("_max"))
+    conflict = (
+        fresh.join(taken, fresh.serial == taken.serial, "left_semi")
+        .crossJoin(F.broadcast(max_serial))
+        .withColumn(
+            "serial",
+            F.col("_max") + F.row_number().over(Window.orderBy("_src_pos")),
+        )
+        .drop("_max")
+    )
+    clean = fresh.join(taken, fresh.serial == taken.serial, "left_anti")
+    inserted = clean.unionByName(conflict).select("entry_id", "task", "serial", "title", "remark")
+    return updated.unionByName(inserted)

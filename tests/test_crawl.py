@@ -1,0 +1,152 @@
+"""Crawl-engine semantics: BFS order, seen-set, politeness, bloom, resume.
+
+Oracle = ``crawl/reference_model.py``, the pure-Python transcription of the
+reference's FIFO walk (ref pbc_monitor.py:188-260)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from icrawler_spark.crawl import CrawlConfig, CrawlEngine, build_site, site_pages_df
+from icrawler_spark.crawl.bloom import BloomFilter
+from icrawler_spark.crawl.reference_model import crawl_model
+
+
+@pytest.fixture(scope="module")
+def site():
+    return build_site(n_pages=4, entries_per_page=3)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, site):
+    return site_pages_df(spark, site).cache()
+
+
+START = "https://www.example.test/list/index.html"
+
+
+def test_bfs_order_and_seen_parity(spark, site, pages):
+    eng = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    eng.run()
+    ref_order, ref_seen, ref_entries = crawl_model(site, START)
+    assert eng.crawl_order() == ref_order
+    assert eng.seen_urls() == ref_seen
+    # every listing page visited exactly once
+    assert len(ref_order) == len(set(ref_order)) == 4
+
+
+def test_entries_match_model(spark, site, pages):
+    eng = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    eng.run()
+    _, _, ref_entries = crawl_model(site, START)
+    got = {
+        (r.title, r.serial)
+        for r in eng.entries.select("title", "serial").collect()
+    }
+    want = {(t, s) for t, s, _r, _d in ref_entries}
+    assert got == want
+    # documents carry every attachment url from the model
+    doc_urls = {r.url for r in eng.documents.select("url").collect()}
+    want_urls = {u for _t, _s, _r, docs in ref_entries for u in docs}
+    assert doc_urls == want_urls
+
+
+def test_politeness_budget_parity(spark, site, pages):
+    cfg = CrawlConfig(start_url=START, max_rounds=30, host_budget=1)
+    eng = CrawlEngine(spark, pages, cfg)
+    eng.run()
+    ref_order, ref_seen, _ = crawl_model(site, START, host_budget=1)
+    assert eng.crawl_order() == ref_order
+    assert eng.seen_urls() == ref_seen
+    # budget respected: ≤1 fetch per host per round
+    per_round = (
+        eng.visited.groupBy("round").count().orderBy("round").collect()
+    )
+    assert all(r["count"] <= 1 for r in per_round)
+    # budget stretches the crawl over more rounds than the unbudgeted BFS
+    assert len(per_round) == len(ref_order)
+
+
+def test_missing_pages_marked_visited(spark, site):
+    # drop one listing page from the corpus: engine must mark it missing and
+    # never retry it, matching the model's visited semantics
+    partial = {k: v for k, v in site.items() if "index_2" not in k}
+    pages = site_pages_df(spark, partial)
+    eng = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    eng.run()
+    ref_order, ref_seen, _ = crawl_model(partial, START)
+    assert eng.crawl_order() == ref_order
+    statuses = {r.url: r.status for r in eng.visited.collect()}
+    missing = [u for u, s in statuses.items() if s == "missing"]
+    assert missing == ["https://www.example.test/list/index_2.html"]
+    assert eng.seen_urls() == ref_seen
+
+
+def test_resume_from_checkpoint(spark, site, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    full = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    full.run()
+    want_order = full.crawl_order()
+    want_seen = full.seen_urls()
+
+    # run only 1 round, "crash", then resume with a fresh engine
+    partial_cfg = CrawlConfig(start_url=START, max_rounds=1, checkpoint_dir=ckpt)
+    CrawlEngine(spark, pages, partial_cfg).run()
+
+    resumed = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=20, checkpoint_dir=ckpt)
+    )
+    resumed.run()
+    assert resumed.crawl_order() == want_order
+    assert resumed.seen_urls() == want_seen
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_uncommitted_round_is_ignored_on_resume(spark, site, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = CrawlConfig(start_url=START, max_rounds=2, checkpoint_dir=ckpt)
+    eng = CrawlEngine(spark, pages, cfg)
+    eng.run()
+    # simulate a crash mid-round-2: tables written but no commit marker
+    import os
+
+    r2 = os.path.join(ckpt, "round=000002")
+    os.makedirs(r2, exist_ok=True)
+    eng.visited.write.mode("overwrite").parquet(os.path.join(r2, "visited"))
+    store_last = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, checkpoint_dir=ckpt)
+    )
+    assert store_last.resume_or_init() == 2  # resumes AFTER round 1 (committed)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=10_000, fpp=0.01)
+    added = pd.Series([f"https://h{i % 7}.test/p/{i}.html" for i in range(5000)])
+    bf.add_many(added)
+    assert bf.might_contain_many(added).all()
+    # fp rate sane on disjoint probes
+    probes = pd.Series([f"https://other{i}.test/x/{i}" for i in range(5000)])
+    fpr = bf.might_contain_many(probes).mean()
+    assert fpr < 0.05
+
+
+def test_bloom_roundtrip_and_merge():
+    a = BloomFilter(capacity=1000)
+    b = BloomFilter(capacity=1000)
+    a.add_many(pd.Series(["u1", "u2"]))
+    b.add_many(pd.Series(["u3"]))
+    merged = BloomFilter.from_bytes(a.to_bytes()).merge(b)
+    assert merged.might_contain_many(pd.Series(["u1", "u2", "u3"])).all()
+
+
+def test_bloom_disabled_same_result(spark, site, pages):
+    e1 = CrawlEngine(spark, pages, CrawlConfig(start_url=START, use_bloom=False))
+    e1.run()
+    e2 = CrawlEngine(spark, pages, CrawlConfig(start_url=START, use_bloom=True))
+    e2.run()
+    assert e1.crawl_order() == e2.crawl_order()
+    assert e1.seen_urls() == e2.seen_urls()

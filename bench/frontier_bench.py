@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scaling-evidence bench (BASELINE.md protocol).
+
+Runs the SAME frontier job on the SAME deterministic input at a given
+parallelism and prints one JSON line. The driver protocol:
+
+    python bench/frontier_bench.py --cpus 8
+    python bench/frontier_bench.py --cpus 32
+    efficiency = throughput(32) / (4 × throughput(8))     # target ≥ 0.8
+
+(spark-submit --py-files equivalent: the session factory ships the package
+zip via addPyFile — the same artifact a cluster submit would distribute.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from icrawler_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--seed-stride", type=int, default=100)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name=f"frontier_bench_{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from icrawler_spark.crawl import CrawlConfig, CrawlEngine, synthetic_pages_df
+
+    n_pages = args.pages
+    pages = synthetic_pages_df(spark, n_pages=n_pages, n_hosts=997, links_per_page=4)
+    pages = pages.repartition(args.cpus * 2).persist()
+    pages.count()  # materialize outside the timed window
+
+    seeds = [
+        f"https://{'hot.example.test' if i < n_pages // 5 else f'host-{i % 997}.example.test'}/p/{i}.html"
+        for i in range(0, n_pages, args.seed_stride)
+    ]
+    cfg = CrawlConfig(
+        seed_urls=seeds,
+        start_url=seeds[0],
+        max_rounds=args.rounds,
+        parse_entries=False,
+        use_bloom=True,
+        bloom_capacity=n_pages,
+        n_host_shards=max(args.cpus, 8),
+    )
+    eng = CrawlEngine(spark, pages, cfg)
+    t0 = time.time()
+    metrics = eng.run()
+    wall = time.time() - t0
+    fetched = sum(m.pages_fetched for m in metrics)
+
+    # partition-skew evidence: batch sizes per salted shard in the last round
+    from pyspark.sql import functions as F
+
+    skew = (
+        eng.visited.groupBy(
+            F.pmod(F.xxhash64(F.lit("x"), F.col("url")), F.lit(cfg.n_host_shards)).alias("shard")
+        )
+        .count()
+        .agg(F.max("count").alias("mx"), F.expr("percentile_approx(count, 0.5)").alias("med"))
+        .collect()[0]
+    )
+
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "pages": n_pages,
+                "rounds": len(metrics),
+                "pages_fetched": fetched,
+                "wall_s": round(wall, 2),
+                "urls_per_sec": round(fetched / wall, 1),
+                "round_wall_s": [round(m.wall_s, 2) for m in metrics],
+                "round_fetched": [m.pages_fetched for m in metrics],
+                "skew_max_partition": int(skew.mx),
+                "skew_median_partition": int(skew.med),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,11 +16,14 @@ DATA — every frontier row has ``(discovered_round, discovery_pos)`` where
 discovery_pos is the global append position: new links are ranked by
 (parent discovery_pos, link position in page) exactly like the reference's
 append loop (pbc_monitor.py:249-254, first-wins dedup). Processing order =
-sort by (discovered_round, discovery_pos); never partition order.
+sort by (discovered_round, discovery_pos); never partition order. Large
+rounds assign positions distributively (range-partition + per-partition
+offsets) instead of a single-partition window.
 
-Seen-set: the Bloom pre-filter routes the definitely-new majority around the
-exact anti-join; "maybe seen" candidates go through the exact anti-join, so
-Bloom false positives cannot drop URLs (§4 hard-part (f)).
+Seen-set: an *incremental* Bloom filter (only each round's batch is hashed,
+built per-partition on executors and OR-merged) routes the definitely-new
+majority around the exact anti-join; "maybe seen" candidates go through the
+exact anti-join, so Bloom false positives cannot drop URLs (§4 hard-part (f)).
 
 Skew: the fetch batch is repartitioned by ``pmod(xxhash64(netloc, round), N)``
 — the salt varies per round so a hot host never pins the same partition, and
@@ -29,13 +32,14 @@ AQE's skew-join splitting covers the join side.
 Scale notes: per-round state merges are full-snapshot rewrites here (parquet
 stand-in); on a cluster each merge is an Iceberg ``MERGE INTO`` commit and
 the pages "fetch" join targets a url-bucketed table so only the batch side
-shuffles. The driver only ever sees counts — no row data is collected.
+shuffles. The driver only ever sees counts and partition offsets — no row
+data is collected.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -47,7 +51,8 @@ from .state import SnapshotStore, merge_documents, merge_entries, merge_seen, re
 
 @dataclass
 class CrawlConfig:
-    start_url: str
+    start_url: str | None = None
+    seed_urls: list[str] | None = None  # wide-frontier seeding (bench/recrawl)
     task: str = "task"
     dialect: str = "default"
     max_rounds: int = 1000
@@ -58,6 +63,18 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     parse_entries: bool = True         # off for pure-frontier benchmarks
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
+    big_round_threshold: int = 50_000  # switch to distributed position assign
+
+    def seeds(self) -> list[str]:
+        if self.seed_urls:
+            return list(self.seed_urls)
+        if self.start_url:
+            return [self.start_url]
+        raise ValueError("CrawlConfig needs start_url or seed_urls")
+
+    @property
+    def scope_url(self) -> str:
+        return self.start_url or self.seeds()[0]
 
 
 @dataclass
@@ -83,10 +100,6 @@ _METRICS_SCHEMA = (
     "links_new long, entries_seen long, documents_seen long, wall_s double"
 )
 
-_VISITED_SCHEMA = (
-    "task string, url string, round int, global_pos bigint, status string"
-)
-
 
 class CrawlEngine:
     """Drives rounds over a pages table until the frontier drains."""
@@ -97,7 +110,6 @@ class CrawlEngine:
         self.cfg = config
         self.store = SnapshotStore(spark, config.checkpoint_dir) if config.checkpoint_dir else None
         self.metrics: list[RoundMetrics] = []
-        # state (DataFrames, lineage broken per round)
         self.visited: DataFrame | None = None
         self.pending: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -105,6 +117,8 @@ class CrawlEngine:
         self.documents: DataFrame | None = None
         self._next_pos = 1
         self._round = 0
+        self._n_pending = 0
+        self._bloom: bloom_mod.BloomFilter | None = None
 
     # -- state plumbing --------------------------------------------------------
 
@@ -123,11 +137,23 @@ class CrawlEngine:
 
     def _seed_frontier(self) -> DataFrame:
         c = self.cfg
+        rows = [
+            (c.task, u, _netloc_py(u), 0, 0, i)
+            for i, u in enumerate(c.seeds())
+        ]
         return self.spark.createDataFrame(
-            [(c.task, c.start_url, _netloc_py(c.start_url), 0, 0, 0)],
+            rows,
             "task string, url string, netloc string, depth int, "
             "discovered_round int, discovery_pos bigint",
         )
+
+    def _bloom_add_batch(self, batch: DataFrame) -> None:
+        cfg = self.cfg
+        delta = bloom_mod.build_bloom(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
+        if self._bloom is None:
+            self._bloom = delta
+        else:
+            self._bloom.merge(delta)
 
     def resume_or_init(self) -> int:
         """Resume from the last committed round, else initialize round 0."""
@@ -141,20 +167,58 @@ class CrawlEngine:
                 self.documents = (
                     self.store.read(last, "documents") if self.store.has_table(last, "documents") else None
                 )
-                row = (
-                    self.pending.agg(F.max("discovery_pos").alias("m")).collect()[0]
-                )
+                row = self.pending.agg(F.max("discovery_pos").alias("m")).collect()[0]
                 vmax = self.visited.agg(F.max("global_pos").alias("m")).collect()[0]
                 self._next_pos = max(
                     (row.m if row.m is not None else 0),
                     (vmax.m if vmax.m is not None else 0),
                 ) + 1
+                self._n_pending = self.pending.count()
+                if self.cfg.use_bloom:
+                    self._bloom = bloom_mod.build_bloom(
+                        self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                    )
                 self._round = last + 1
                 return self._round
         self.pending = self._seed_frontier()
-        self._next_pos = 1
+        self._n_pending = len(self.cfg.seeds())
+        self._next_pos = self._n_pending
         self._round = 0
         return 0
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _assign_positions(self, links: DataFrame, n_links_hint: int) -> DataFrame:
+        """Dense global FIFO positions ordered by (parent_pos, link_pos).
+
+        Small rounds: one window. Big rounds: range-repartition on the order
+        key, per-partition row_number, driver-joined partition offsets — the
+        standard distributed dense-rank, no single-partition sort."""
+        order = [F.asc("parent_pos"), F.asc("link_pos")]
+        if n_links_hint <= self.cfg.big_round_threshold:
+            w = Window.orderBy(*order)
+            return links.withColumn(
+                "discovery_pos",
+                (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
+            )
+        parts = max(self.cfg.n_host_shards, 1)
+        ranged = links.repartitionByRange(parts, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        ranged = ranged.localCheckpoint(eager=True)  # pin partitioning
+        counts = {r._pid: r.cnt for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, self._next_pos - 1
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        wp = Window.partitionBy("_pid").orderBy(*order)
+        return (
+            ranged.withColumn(
+                "discovery_pos",
+                (F.row_number().over(wp) + omap[F.col("_pid")]).cast("long"),
+            ).drop("_pid")
+        )
 
     # -- one round -------------------------------------------------------------
 
@@ -164,7 +228,7 @@ class CrawlEngine:
         t0 = time.time()
 
         pending = self.pending
-        # politeness: window-rank per netloc in FIFO order, emit ≤ budget
+        n_pending_before = self._n_pending
         order = [F.asc("discovered_round"), F.asc("discovery_pos")]
         if cfg.host_budget is not None:
             w = Window.partitionBy("netloc").orderBy(*order)
@@ -179,57 +243,57 @@ class CrawlEngine:
         batch = batch.repartition(
             cfg.n_host_shards,
             F.pmod(F.xxhash64(F.col("netloc"), F.lit(rnd)), F.lit(cfg.n_host_shards)),
-        )
+        ).persist()
+        n_batch = batch.count()
+        n_deferred = n_pending_before - n_batch
 
         # fetch = broadcast the (small) batch against the (huge) pages table
         fetched = (
             self.pages.join(F.broadcast(batch), "url", "inner")
             .select("task", "url", "html", "depth", "discovered_round", "discovery_pos")
+            .persist()
         )
-        missing = batch.join(self.pages.select("url"), "url", "left_anti")
+        n_fetched = fetched.count()
+        n_missing = n_batch - n_fetched
 
-        # record visited (crawl order carried as data)
-        batch_visited = batch.select(
+        batch_visited = batch.join(
+            fetched.select("url", F.lit("fetched").alias("_st")), "url", "left"
+        ).select(
             "task",
             "url",
             F.lit(rnd).alias("round"),
             F.col("discovery_pos").alias("global_pos"),
-            F.lit("fetched").alias("status"),
-        ).join(missing.select("url", F.lit("missing").alias("_m")), "url", "left").select(
-            "task", "url", "round", "global_pos",
-            F.coalesce(F.col("_m"), F.col("status")).alias("status"),
+            F.coalesce(F.col("_st"), F.lit("missing")).alias("status"),
         )
 
-        # parse pagination links (Arrow-batched UDF)
-        page_inputs = fetched.withColumn("start_url", F.lit(cfg.start_url))
+        # parse pagination links (Arrow-batched UDF), first-wins dedup in FIFO
+        # append order (parent pos, link pos)
+        page_inputs = fetched.withColumn("start_url", F.lit(cfg.scope_url))
         links = udfs.parse_pagination_links(page_inputs).join(
             fetched.select(F.col("url").alias("page_url"), "depth", "discovery_pos"),
             "page_url",
-        )
-
+        ).select(
+            "task",
+            "url",
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(rnd + 1).alias("discovered_round"),
+            F.col("discovery_pos").alias("parent_pos"),
+            "link_pos",
+        ).persist()
         n_links = links.count()
 
-        # first-wins dedup in FIFO append order (parent pos, link pos)
-        wdup = Window.partitionBy("url").orderBy(F.asc("discovery_pos"), F.asc("link_pos"))
+        wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
         new_links = (
             links.withColumn("_rn", F.row_number().over(wdup))
             .where(F.col("_rn") == 1)
-            .select(
-                "task",
-                "url",
-                (F.col("depth") + 1).alias("depth"),
-                F.lit(rnd + 1).alias("discovered_round"),
-                F.col("discovery_pos").alias("parent_pos"),
-                "link_pos",
-            )
+            .drop("_rn")
         )
 
-        # anti-join the seen sets: visited (big, bloom-prefiltered) then
-        # in-flight sets (small, exact only)
+        # seen-set filtering: bloom prefilter (incremental, covers all visited
+        # rounds) routes definitely-new links around the exact anti-join
         if self.visited is not None:
-            if cfg.use_bloom:
-                bf = bloom_mod.build_bloom(self.visited, "url", cfg.bloom_capacity, cfg.bloom_fpp)
-                bc = self.spark.sparkContext.broadcast(bf.to_bytes())
+            if cfg.use_bloom and self._bloom is not None:
+                bc = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
                 flagged = bloom_mod.prefilter_unseen(new_links, "url", bc)
                 definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
                 maybe = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -241,15 +305,13 @@ class CrawlEngine:
         if deferred is not None:
             new_links = new_links.join(deferred.select("url"), "url", "left_anti")
 
-        # assign global FIFO append positions
-        wpos = Window.orderBy(F.asc("parent_pos"), F.asc("link_pos"))
-        new_frontier = new_links.select(
+        new_frontier = self._assign_positions(new_links, n_links).select(
             "task",
             "url",
             _netloc_col(F.col("url")).alias("netloc"),
             "depth",
             "discovered_round",
-            (F.row_number().over(wpos) + F.lit(self._next_pos - 1)).cast("long").alias("discovery_pos"),
+            "discovery_pos",
         )
 
         # entries/documents/seen merge (the listing side of the round)
@@ -287,25 +349,29 @@ class CrawlEngine:
             )
             self.seen = merge_seen(self.seen, batch_seen)
 
-        # fold into engine state
+        # fold state, update bloom with this round's batch, pin lineage
         self.visited = (
             batch_visited if self.visited is None else self.visited.unionByName(batch_visited)
         )
         self.pending = (
             new_frontier if deferred is None else deferred.unionByName(new_frontier)
         )
+        if cfg.use_bloom:
+            self._bloom_add_batch(batch)
 
-        # pin lineage + counts
         self.visited = self._pin(self.visited, rnd, "visited")
         self.pending = self._pin(self.pending, rnd, "pending")
         self.entries = self._pin(self.entries, rnd, "entries")
         self.documents = self._pin(self.documents, rnd, "documents")
         self.seen = self._pin(self.seen, rnd, "seen")
 
-        n_fetched = fetched.count()
-        n_missing = missing.count()
-        n_new = self.pending.count() - (deferred.count() if deferred is not None else 0)
+        self._n_pending = self.pending.count()
+        n_new = self._n_pending - n_deferred
         self._next_pos += n_new
+
+        batch.unpersist()
+        fetched.unpersist()
+        links.unpersist()
 
         m = RoundMetrics(
             round=rnd,
@@ -331,7 +397,7 @@ class CrawlEngine:
     def run(self) -> list[RoundMetrics]:
         self.resume_or_init()
         while self._round < self.cfg.max_rounds:
-            if self.pending is None or self.pending.limit(1).count() == 0:
+            if self.pending is None or self._n_pending == 0:
                 break
             self.run_round()
         return self.metrics

@@ -257,24 +257,26 @@ def _minhash_perm_cols():
 
 
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures: shingle→hash48→min over 16 permutations,
-    exploded to (doc_id, perm, minhash) rows for stable hashing."""
+    """MinHash signatures as (doc_id, perm, minhash) rows.
+
+    Plan shape matters at scale: shingles are EXPLODED and hashed ONCE, then
+    one hash aggregation computes all 16 permutation minima with map-side
+    partial agg — md5 runs once per shingle instead of once per (perm ×
+    plan-branch), and the shuffle carries only (doc_id, 16 longs)."""
     d = load(spark, sf_dir, "documents")
-    hashes = F.transform(_shingles(F.col("text")), lambda s: _hash48(s))
-
-    def _perm(a, b):
-        # closure factory: pyspark infers HOF arity from the lambda signature,
-        # so the permutation constants must be captured, not default-args
-        return lambda h: (h * a + b) % _MINHASH_P
-
-    perm_cols = []
-    for i, (a, b) in enumerate(_minhash_perm_cols()):
-        mh = F.array_min(F.transform(hashes, _perm(a, b)))
-        perm_cols.append(F.struct(F.lit(i).cast("long").alias("perm"), mh.alias("minhash")))
-    return (
-        d.select("doc_id", F.explode(F.array(*perm_cols)).alias("s"))
-        .select("doc_id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash"))
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s")).select(
+        "doc_id", _hash48(F.col("s")).alias("h")
     )
+    aggs = [
+        F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_perm_cols())
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"CAST({i} AS BIGINT), mh{i}" for i in range(_NUM_PERMS))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({_NUM_PERMS}, {stack}) AS (perm, minhash)"),
+    ).select("doc_id", "perm", "minhash")
 
 
 def _minhash_sig_sql_inner():
@@ -308,7 +310,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     This is the 100 TB dedup path: candidate generation is an equi-join on
     the band key (shuffle bounded by bucket sizes), never a cross join.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    # the signature feeds three plan branches (bands + both join sides) —
+    # pin it so Spark computes it once
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bands = (
         sig.withColumn("band", (F.col("perm") / _BAND_ROWS).cast("long"))
         .groupBy("doc_id", "band")

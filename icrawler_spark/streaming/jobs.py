@@ -1,0 +1,74 @@
+"""Structured Streaming jobs mirroring the reference's incremental loop.
+
+The reference's monitor is a sleep-loop that re-crawls and diffs state
+(ref pbc_monitor.py:1137-1207). The streaming-native equivalents:
+
+- ``streaming_hourly_rollup`` — event-time tumbling windows + watermark for
+  late data (the TaskStats/round-metrics aggregate as a live stream);
+- ``streaming_dedup`` — ``dropDuplicates`` on the identity key within the
+  watermark horizon: the URL-seen set as streaming state.
+
+Both run with ``Trigger.AvailableNow`` semantics in tests (drain the backlog,
+then stop) — the same batch-incremental contract as the crawl engine's round
+loop, which is why a killed stream resumes from its checkpoint exactly like
+the frontier resumes from its snapshot store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ts(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC by
+    the session factory so the cast is deterministic."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """events(ts, event_type, value) stream → hourly windowed counts/sums."""
+    return (
+        _ts(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, key: str = "event_id", watermark: str = "2 hours") -> DataFrame:
+    """First-wins identity dedup within the watermark horizon — the
+    streaming URL-seen set."""
+    return _ts(events).withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    transform,
+    checkpoint_dir: str,
+    out_table: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a parquet-backlog stream into a memory sink and stop — the
+    test/bench harness for streaming jobs."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

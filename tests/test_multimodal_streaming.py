@@ -1,0 +1,124 @@
+"""Multimodal plumbing + Structured Streaming jobs."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+    media_metadata,
+)
+from icrawler_spark.multimodal.ops import deterministic_fake_decoder, sniff_mime
+from icrawler_spark.streaming import (
+    run_available_now,
+    streaming_dedup,
+    streaming_hourly_rollup,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "image/jpeg", b"\xff\xd8\xff\xe0" + b"j" * 100),
+        (2, "image", "image/png", b"\x89PNG\r\n\x1a\n" + b"p" * 50),
+        (3, "audio", "audio/wav", b"RIFF" + b"w" * 20),
+        (4, "image", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, mime string, content binary"
+    )
+
+
+def test_media_metadata(spark, media):
+    out = {r.media_id: r for r in media_metadata(media).collect()}
+    assert out[1].sniffed_mime == "image/jpeg"
+    assert out[2].sniffed_mime == "image/png"
+    assert out[3].sniffed_mime == "audio/wav"
+    assert out[4].sniffed_mime is None
+    assert out[1].n_bytes == 104
+
+
+def test_sniff_mime_unit():
+    assert sniff_mime(b"\xff\xd8\xff\xdb") == "image/jpeg"
+    assert sniff_mime(b"zz") == "application/octet-stream"
+    assert sniff_mime(None) is None
+
+
+def test_decode_image_features_fake(spark, media):
+    out = {
+        r.media_id: r
+        for r in decode_image_features(media, decoder=deterministic_fake_decoder).collect()
+    }
+    assert out[1].decode_error is None
+    assert 64 <= out[1].width < 256 and len(out[1].features) == 8
+    # deterministic: same payload → same features
+    again = {
+        r.media_id: r
+        for r in decode_image_features(media, decoder=deterministic_fake_decoder).collect()
+    }
+    assert out[1].features == again[1].features
+
+
+def test_decode_image_features_stub_errors_captured(spark, media):
+    # default decoder raises NotImplementedError → captured as data, not raised
+    out = {r.media_id: r for r in decode_image_features(media).collect()}
+    assert all(r.decode_error == "NotImplementedError" for r in out.values())
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame(
+        [(1, 3.5), (2, 0.2)], "media_id long, duration_s double"
+    )
+    plan = frame_sample_plan(vids, fps=2.0).collect()
+    per = {}
+    for r in plan:
+        per.setdefault(r.media_id, []).append((r.frame_idx, r.ts_s))
+    assert len(per[1]) == 7       # floor(3.5*2)=7 frames
+    assert len(per[2]) == 1       # min 1 frame
+    assert per[1][0] == (0, 0.0) and per[1][2][1] == 1.0
+
+
+def _stage_events_dir(tmp_path) -> str:
+    # the streaming file source requires a directory, testdata is one file
+    d = tmp_path / "events_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_streaming_hourly_rollup(spark, tmp_path):
+    src = _stage_events_dir(tmp_path)
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(
+        spark, src, schema, streaming_hourly_rollup, ckpt, "hourly_stream",
+        output_mode="append",
+    )
+    got = spark.sql("select sum(n) as total from hourly_stream").collect()[0].total
+    # append mode emits only watermark-closed windows; the final (open)
+    # windows are withheld — so the streamed total is a large subset
+    batch_total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got is not None and 0 < got <= batch_total
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = _stage_events_dir(tmp_path)
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt2")
+    run_available_now(
+        spark, src, schema,
+        lambda s: streaming_dedup(s).groupBy().count(),
+        ckpt, "dedup_stream", output_mode="complete",
+    )
+    got = spark.sql("select max(count) c from dedup_stream").collect()[0].c
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").distinct().count()
+    )
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--seed-stride", type=int, default=100)
+    ap.add_argument("--links-per-page", type=int, default=12)
+    ap.add_argument("--filler-paragraphs", type=int, default=12)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -42,9 +44,17 @@ def main() -> None:
 
     from icrawler_spark.crawl import CrawlConfig, CrawlEngine, synthetic_pages_df
 
+    from pyspark import StorageLevel
+
     n_pages = args.pages
-    pages = synthetic_pages_df(spark, n_pages=n_pages, n_hosts=997, links_per_page=4)
-    pages = pages.repartition(args.cpus * 2).persist()
+    pages = synthetic_pages_df(
+        spark,
+        n_pages=n_pages,
+        n_hosts=997,
+        links_per_page=args.links_per_page,
+        filler_paragraphs=args.filler_paragraphs,
+    )
+    pages = pages.repartition(args.cpus * 2).persist(StorageLevel.MEMORY_AND_DISK)
     pages.count()  # materialize outside the timed window
 
     seeds = [

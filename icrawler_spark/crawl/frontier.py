@@ -244,7 +244,10 @@ class CrawlEngine:
             cfg.n_host_shards,
             F.pmod(F.xxhash64(F.col("netloc"), F.lit(rnd)), F.lit(cfg.n_host_shards)),
         ).persist()
-        n_batch = batch.count()
+        if cfg.host_budget is None:
+            n_batch = n_pending_before  # whole frontier is the batch — no extra job
+        else:
+            n_batch = batch.count()
         n_deferred = n_pending_before - n_batch
 
         # fetch = broadcast the (small) batch against the (huge) pages table

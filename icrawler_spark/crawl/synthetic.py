@@ -102,6 +102,7 @@ def synthetic_pages_df(
     n_hosts: int = 1000,
     links_per_page: int = 4,
     hot_host_fraction: float = 0.2,
+    filler_paragraphs: int = 0,
 ) -> DataFrame:
     """Distributed pages table with a deterministic link graph.
 
@@ -138,13 +139,25 @@ def synthetic_pages_df(
     # one deterministic long-range cross link
     anchors.append(link_to((F.col("page_id") * 48271 + 1) % n_pages))
 
-    html = F.concat(
+    # realistic page weight: parse cost at 100 TB is dominated by body HTML,
+    # so the bench corpus carries filler paragraphs (~230 B each)
+    body = [
         F.lit("<html><body><div class='list_page'>"),
         *anchors,
         F.lit("</div><p>synthetic page "),
         F.col("page_id").cast("string"),
-        F.lit("</p></body></html>"),
-    )
+        F.lit("</p>"),
+    ]
+    if filler_paragraphs > 0:
+        para = F.concat(
+            F.lit("<p>filler content block with tokens alpha beta gamma delta epsilon "
+                  "zeta eta theta iota kappa lambda for page "),
+            F.col("page_id").cast("string"),
+            F.lit(" covering layout text extraction and link-scan throughput measurements.</p>"),
+        )
+        body.append(F.repeat(para, filler_paragraphs))
+    body.append(F.lit("</body></html>"))
+    html = F.concat(*body)
     return df.select(
         url.alias("url"),
         (F.lit(_EPOCH) + F.make_interval(secs=F.col("page_id").cast("double") * 0.001)).alias("warc_ts"),

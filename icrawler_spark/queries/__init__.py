@@ -15,12 +15,14 @@ Determinism contract (the driver value-hashes results):
 
 from __future__ import annotations
 
-from . import analytics, simsearch, textops
+from . import analytics, engineops, simsearch, textops
+
+_MODULES = (analytics, textops, simsearch, engineops)
 
 
 def all_queries():
     out = {}
-    for mod in (analytics, textops, simsearch):
+    for mod in _MODULES:
         for name, (fn, _sql) in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = fn
@@ -29,7 +31,7 @@ def all_queries():
 
 def all_oracles():
     out = {}
-    for mod in (analytics, textops, simsearch):
+    for mod in _MODULES:
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

@@ -1,0 +1,129 @@
+"""State JSON export/import parity — golden ported from the reference's
+state-roundtrip test (ref tests/test_pbc_monitor.py:562-640)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from icrawler_spark.crawl.export import (
+    legacy_state_to_entries,
+    state_export_df,
+    state_export_json,
+)
+from icrawler_spark.crawl.state import merge_seen
+
+
+@pytest.fixture()
+def state_tables(spark):
+    entries = spark.createDataFrame(
+        [
+            ("eA", "task", 1, "公告A", ""),
+            ("eB", "task", 2, "公告B", "备注"),
+        ],
+        "entry_id string, task string, serial int, title string, remark string",
+    )
+    documents = spark.createDataFrame(
+        [
+            ("eA", "http://example.com/a.pdf", "pdf", "公告A"),
+            ("eB", "http://example.com/b.pdf", "pdf", "公告B"),
+        ],
+        "entry_id string, url string, doc_type string, title string",
+    )
+    seen = spark.createDataFrame(
+        [
+            ("http://example.com/a.pdf", "eA", "公告A", "pdf", True, "downloads/a.pdf"),
+            ("http://example.com/b.pdf", "eB", "公告B", "pdf", True, None),
+        ],
+        "url string, entry_id string, title string, doc_type string, "
+        "downloaded boolean, local_path string",
+    )
+    return entries, documents, seen
+
+
+def test_state_export_matches_reference_golden(spark, state_tables):
+    entries, documents, seen = state_tables
+    got = json.loads(state_export_json(entries, documents, seen))
+    # exact golden from ref tests/test_pbc_monitor.py:605-635
+    assert got == {
+        "entries": [
+            {
+                "serial": 1,
+                "title": "公告A",
+                "remark": "",
+                "documents": [
+                    {
+                        "type": "pdf",
+                        "url": "http://example.com/a.pdf",
+                        "title": "公告A",
+                        "downloaded": True,
+                        "local_path": "downloads/a.pdf",
+                    }
+                ],
+            },
+            {
+                "serial": 2,
+                "title": "公告B",
+                "remark": "备注",
+                "documents": [
+                    {
+                        "type": "pdf",
+                        "url": "http://example.com/b.pdf",
+                        "title": "公告B",
+                        "downloaded": True,
+                    }
+                ],
+            },
+        ]
+    }
+
+
+def test_export_order_null_serials_last(spark):
+    entries = spark.createDataFrame(
+        [("e1", "t", None, "乙", ""), ("e2", "t", 5, "甲", ""), ("e3", "t", None, "甲", "")],
+        "entry_id string, task string, serial int, title string, remark string",
+    )
+    documents = spark.createDataFrame(
+        [], "entry_id string, url string, doc_type string, title string"
+    )
+    rows = state_export_df(entries, documents).collect()
+    # nulls last; within nulls, title code-point order (乙 U+4E59 < 甲 U+7532)
+    assert [(r.serial, r.title) for r in rows] == [(5, "甲"), (None, "乙"), (None, "甲")]
+
+
+def test_legacy_dict_migration(spark):
+    df = legacy_state_to_entries(spark, {
+        "http://x/a.pdf": "文件A",
+        "http://x/b": "",
+    })
+    rows = {r.url: r for r in df.collect()}
+    assert rows["http://x/a.pdf"].doc_type == "pdf"
+    assert rows["http://x/a.pdf"].title == "文件A"
+    assert rows["http://x/a.pdf"].downloaded is True
+    assert rows["http://x/b"].doc_type == "html"     # no extension → html
+    assert rows["http://x/b"].doc_title == "http://x/b"  # empty name → url
+
+
+def test_legacy_list_migration(spark):
+    df = legacy_state_to_entries(spark, ["http://x/c.docx", {"url": "http://x/d.zip", "name": "压缩包"}])
+    rows = {r.url: r for r in df.collect()}
+    assert rows["http://x/c.docx"].doc_type == "word"
+    assert rows["http://x/d.zip"].doc_type == "archive"
+    assert rows["http://x/d.zip"].title == "压缩包"
+
+
+def test_merge_seen_never_unsets_downloaded(spark):
+    seen = spark.createDataFrame(
+        [("u1", "e1", "t", "pdf", True, "p1")],
+        "url string, entry_id string, title string, doc_type string, "
+        "downloaded boolean, local_path string",
+    )
+    batch = spark.createDataFrame(
+        [("u1", "e1", "t2", "pdf", False, None, 0)],
+        "url string, entry_id string, title string, doc_type string, "
+        "downloaded boolean, local_path string, _src_pos long",
+    )
+    out = merge_seen(seen, batch).collect()
+    assert len(out) == 1
+    assert out[0].downloaded is True  # ref state.py:164-172

@@ -27,12 +27,15 @@ from icrawler_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    # defaults chosen so every round is BIG (hundreds of k pages): the metric
+    # is sustained frontier throughput, and at 10^10 scale rounds are always
+    # large relative to fixed per-round orchestration cost
     ap.add_argument("--cpus", type=int, required=True)
-    ap.add_argument("--pages", type=int, default=1_000_000)
-    ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--seed-stride", type=int, default=100)
+    ap.add_argument("--pages", type=int, default=600_000)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--seed-stride", type=int, default=5)
     ap.add_argument("--links-per-page", type=int, default=12)
-    ap.add_argument("--filler-paragraphs", type=int, default=12)
+    ap.add_argument("--filler-paragraphs", type=int, default=30)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -69,6 +72,7 @@ def main() -> None:
         use_bloom=True,
         bloom_capacity=n_pages,
         n_host_shards=max(args.cpus, 8),
+        fast_metrics=True,
     )
     eng = CrawlEngine(spark, pages, cfg)
     t0 = time.time()

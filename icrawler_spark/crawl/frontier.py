@@ -64,6 +64,7 @@ class CrawlConfig:
     parse_entries: bool = True         # off for pure-frontier benchmarks
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
     big_round_threshold: int = 50_000  # switch to distributed position assign
+    fast_metrics: bool = False         # skip the links-count job (bench mode)
 
     def seeds(self) -> list[str]:
         if self.seed_urls:
@@ -104,12 +105,23 @@ _METRICS_SCHEMA = (
 class CrawlEngine:
     """Drives rounds over a pages table until the frontier drains."""
 
-    def __init__(self, spark: SparkSession, pages: DataFrame, config: CrawlConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig,
+        robots_rules: DataFrame | None = None,
+    ):
         self.spark = spark
         self.pages = pages
         self.cfg = config
+        self.robots_rules = robots_rules
         self.store = SnapshotStore(spark, config.checkpoint_dir) if config.checkpoint_dir else None
         self.metrics: list[RoundMetrics] = []
+        # visited is append-only: pinned per-round deltas, unioned lazily —
+        # re-checkpointing the whole history every round would make round
+        # cost grow with crawl age
+        self._visited_parts: list[DataFrame] = []
         self.visited: DataFrame | None = None
         self.pending: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -147,6 +159,14 @@ class CrawlEngine:
             "discovered_round int, discovery_pos bigint",
         )
 
+    def _union_visited(self) -> DataFrame | None:
+        if not self._visited_parts:
+            return None
+        out = self._visited_parts[0]
+        for p in self._visited_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _bloom_add_batch(self, batch: DataFrame) -> None:
         cfg = self.cfg
         delta = bloom_mod.build_bloom(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
@@ -160,7 +180,13 @@ class CrawlEngine:
         if self.store is not None:
             last = self.store.latest_committed_round()
             if last is not None:
-                self.visited = self.store.read(last, "visited")
+                # visited is stored as per-round deltas — union the history
+                self._visited_parts = [
+                    self.store.read(r, "visited")
+                    for r in range(last + 1)
+                    if self.store.has_table(r, "visited")
+                ]
+                self.visited = self._union_visited()
                 self.pending = self.store.read(last, "pending")
                 self.seen = self.store.read(last, "seen") if self.store.has_table(last, "seen") else None
                 self.entries = self.store.read(last, "entries") if self.store.has_table(last, "entries") else None
@@ -180,22 +206,27 @@ class CrawlEngine:
                     )
                 self._round = last + 1
                 return self._round
-        self.pending = self._seed_frontier()
-        self._n_pending = len(self.cfg.seeds())
-        self._next_pos = self._n_pending
+        seeded = self._seed_frontier()
+        if self.robots_rules is not None:
+            from .robots import apply_robots_filter
+
+            seeded = apply_robots_filter(seeded, self.robots_rules)
+        self.pending = seeded
+        self._n_pending = seeded.count() if self.robots_rules is not None else len(self.cfg.seeds())
+        self._next_pos = len(self.cfg.seeds())
         self._round = 0
         return 0
 
     # -- helpers ---------------------------------------------------------------
 
-    def _assign_positions(self, links: DataFrame, n_links_hint: int) -> DataFrame:
+    def _assign_positions(self, links: DataFrame, big_round: bool) -> DataFrame:
         """Dense global FIFO positions ordered by (parent_pos, link_pos).
 
         Small rounds: one window. Big rounds: range-repartition on the order
         key, per-partition row_number, driver-joined partition offsets — the
         standard distributed dense-rank, no single-partition sort."""
         order = [F.asc("parent_pos"), F.asc("link_pos")]
-        if n_links_hint <= self.cfg.big_round_threshold:
+        if not big_round:
             w = Window.orderBy(*order)
             return links.withColumn(
                 "discovery_pos",
@@ -207,6 +238,13 @@ class CrawlEngine:
         )
         ranged = ranged.localCheckpoint(eager=True)  # pin partitioning
         counts = {r._pid: r.cnt for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        if not counts:
+            # all candidates were deduped/seen — empty map() would not type
+            w = Window.orderBy(*order)
+            return ranged.drop("_pid").withColumn(
+                "discovery_pos",
+                (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
+            )
         offsets, acc = {}, self._next_pos - 1
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -282,8 +320,16 @@ class CrawlEngine:
             F.lit(rnd + 1).alias("discovered_round"),
             F.col("discovery_pos").alias("parent_pos"),
             "link_pos",
-        ).persist()
-        n_links = links.count()
+        )
+        # persist is lazy: the bloom split + dedup branch the plan, so the
+        # parse output must be cached either way
+        links = links.persist()
+        if cfg.fast_metrics:
+            n_links = -1  # skip the count job; estimate round size instead
+            big_round = n_fetched * 4 > cfg.big_round_threshold
+        else:
+            n_links = links.count()
+            big_round = n_links > cfg.big_round_threshold
 
         wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
         new_links = (
@@ -308,7 +354,13 @@ class CrawlEngine:
         if deferred is not None:
             new_links = new_links.join(deferred.select("url"), "url", "left_anti")
 
-        new_frontier = self._assign_positions(new_links, n_links).select(
+        if self.robots_rules is not None:
+            from .robots import apply_robots_filter
+
+            with_netloc = new_links.withColumn("netloc", _netloc_col(F.col("url")))
+            new_links = apply_robots_filter(with_netloc, self.robots_rules).drop("netloc")
+
+        new_frontier = self._assign_positions(new_links, big_round).select(
             "task",
             "url",
             _netloc_col(F.col("url")).alias("netloc"),
@@ -352,17 +404,16 @@ class CrawlEngine:
             )
             self.seen = merge_seen(self.seen, batch_seen)
 
-        # fold state, update bloom with this round's batch, pin lineage
-        self.visited = (
-            batch_visited if self.visited is None else self.visited.unionByName(batch_visited)
-        )
+        # fold state, update bloom with this round's batch, pin lineage.
+        # visited: pin the DELTA only; history parts are already pinned
         self.pending = (
             new_frontier if deferred is None else deferred.unionByName(new_frontier)
         )
         if cfg.use_bloom:
             self._bloom_add_batch(batch)
 
-        self.visited = self._pin(self.visited, rnd, "visited")
+        self._visited_parts.append(self._pin(batch_visited, rnd, "visited"))
+        self.visited = self._union_visited()
         self.pending = self._pin(self.pending, rnd, "pending")
         self.entries = self._pin(self.entries, rnd, "entries")
         self.documents = self._pin(self.documents, rnd, "documents")

@@ -1,0 +1,99 @@
+"""robots.txt rules as a joined predicate (north_rule requirement).
+
+The reference has no robots handling (its politeness is delay/jitter only —
+ref fetcher.py:28-30); the north_rule adds it. Design: robots.txt documents
+are parsed (driver- or executor-side, they are tiny) into a small rules
+table ``(netloc, path_prefix, allow, rule_len)`` that is BROADCAST-joined
+against the frontier as a predicate — no per-row Python in the filter path.
+
+Matching follows RFC 9309 longest-match: among all rules of the URL's host
+whose prefix matches the path, the longest wins; ties prefer Allow. Hosts
+with no rules are allowed. Only ``User-agent: *`` groups are consulted (the
+engine crawls as a generic agent).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = "netloc string, path_prefix string, allow boolean, rule_len int"
+
+
+def parse_robots_txt(netloc: str, text: str) -> list[tuple[str, str, bool, int]]:
+    """robots.txt → rule rows for User-agent: * groups.
+
+    Returns (netloc, path_prefix, allow, rule_len). Empty Disallow lines
+    (allow-all) produce no rule. '*' wildcards are truncated at the first
+    wildcard (prefix semantics only — conservative superset for Allow,
+    subset for Disallow is avoided by keeping the pre-wildcard prefix)."""
+    rules: list[tuple[str, str, bool, int]] = []
+    applies = False
+    saw_any_agent = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if saw_any_agent and applies and value != "*":
+                # a new non-* group after our group ends it
+                applies = False
+            if value == "*":
+                applies = True
+            saw_any_agent = True
+        elif field in ("allow", "disallow") and applies:
+            if not value:
+                continue
+            prefix = value.split("*", 1)[0]
+            if not prefix.startswith("/"):
+                prefix = "/" + prefix
+            rules.append((netloc.lower(), prefix, field == "allow", len(value)))
+    return rules
+
+
+def robots_rules_df(spark, robots_docs: dict[str, str]) -> DataFrame:
+    """{netloc: robots.txt text} → broadcastable rules table."""
+    rows = []
+    for netloc, text in sorted(robots_docs.items()):
+        rows.extend(parse_robots_txt(netloc, text))
+    if not rows:
+        return spark.createDataFrame([], RULES_SCHEMA)
+    return spark.createDataFrame(rows, RULES_SCHEMA)
+
+
+def apply_robots_filter(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Drop frontier rows disallowed by the rules table.
+
+    Join on netloc (broadcast — robots corpora are tiny relative to the
+    frontier), prefix-match the path, longest rule wins, tie → Allow, no
+    matching rule / no rules for host → allowed."""
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    fr = frontier.withColumn("_path", F.when(path == "", "/").otherwise(path))
+    r = rules.select(
+        F.col("netloc").alias("_rnetloc"),
+        "path_prefix",
+        "allow",
+        "rule_len",
+    )
+    joined = fr.join(
+        F.broadcast(r),
+        (F.col("netloc") == F.col("_rnetloc"))
+        & F.col("_path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    # frontier urls are unique (post-dedup), so url partitions the match set
+    w = Window.partitionBy("url").orderBy(
+        F.desc(F.coalesce(F.col("rule_len"), F.lit(-1))),
+        F.desc(F.coalesce(F.col("allow").cast("int"), F.lit(1))),
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.coalesce(F.col("allow"), F.lit(True)))
+        .select(*frontier.columns)
+    )

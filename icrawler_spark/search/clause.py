@@ -218,12 +218,10 @@ def extract_clause_text(text: str, ref: ClauseReference) -> str | None:
 
 def clause_udf(ref: ClauseReference):
     """Scalar pandas UDF: texts.text → clause slice for a fixed reference."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    @pandas_udf(StringType())
-    def _slice(texts: pd.Series) -> pd.Series:
+    def _slice(texts):
         return texts.map(lambda t: extract_clause_text(t or "", ref))
 
-    return _slice
+    return pandas_udf(_slice, StringType())

@@ -42,6 +42,9 @@ def main() -> None:
         app_name=f"frontier_bench_{args.cpus}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=max(args.cpus, 8),
+        # 128 GiB box: a tight heap makes GC the scaling bottleneck at high
+        # thread counts — size like a real executor fleet would be sized
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -62,6 +62,8 @@ class CrawlConfig:
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
     parse_entries: bool = True         # off for pure-frontier benchmarks
+    download_docs: bool = False        # run the document download stage per round
+    allowed_types: list[str] | None = None  # download-type filter (ref 588-590)
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
     big_round_threshold: int = 50_000  # switch to distributed position assign
     fast_metrics: bool = False         # skip the links-count job (bench mode)
@@ -88,17 +90,21 @@ class RoundMetrics:
     entries_seen: int
     documents_seen: int
     wall_s: float
+    files_downloaded: int = 0
+    files_reused: int = 0
 
     def as_tuple(self):
         return (
             self.round, self.pages_fetched, self.pages_missing, self.links_discovered,
             self.links_new, self.entries_seen, self.documents_seen, float(self.wall_s),
+            self.files_downloaded, self.files_reused,
         )
 
 
 _METRICS_SCHEMA = (
     "round int, pages_fetched long, pages_missing long, links_discovered long, "
-    "links_new long, entries_seen long, documents_seen long, wall_s double"
+    "links_new long, entries_seen long, documents_seen long, wall_s double, "
+    "files_downloaded long, files_reused long"
 )
 
 
@@ -404,6 +410,21 @@ class CrawlEngine:
             )
             self.seen = merge_seen(self.seen, batch_seen)
 
+        # document download stage (ref pbc_monitor.py:572-813 work-queue)
+        n_dl = n_reused = 0
+        if cfg.download_docs and self.seen is not None:
+            from .downloads import run_download_stage
+
+            self.seen, self.documents, dl_metrics = run_download_stage(
+                self.spark,
+                self.pages,
+                self.seen,
+                self.documents,
+                allowed_types=cfg.allowed_types,
+            )
+            n_dl = dl_metrics["files_downloaded"]
+            n_reused = dl_metrics["files_reused"]
+
         # fold state, update bloom with this round's batch, pin lineage.
         # visited: pin the DELTA only; history parts are already pinned
         self.pending = (
@@ -436,6 +457,8 @@ class CrawlEngine:
             entries_seen=n_entries,
             documents_seen=n_docs,
             wall_s=time.time() - t0,
+            files_downloaded=n_dl,
+            files_reused=n_reused,
         )
         self.metrics.append(m)
         if self.store is not None:

@@ -92,9 +92,11 @@ def merge_seen(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """MERGE INTO seen USING batch ON url (ref state.py:173-228).
 
     - new URLs are inserted;
-    - matched URLs update title/type/path but ``downloaded`` only upgrades
-      false→true, never the reverse (ref state.py:164-172);
-    - within a batch, first-wins by discovery order (``_src_pos``).
+    - matched URLs take the NEWEST provided (non-null) title/type/path —
+      ``mark_downloaded`` overwrites these fields in the reference
+      (state.py:186-228) — while ``downloaded`` only ever upgrades
+      false→true (state.py:164-172);
+    - batch order is discovery order (``_src_pos``), newest = greatest.
     """
     b = batch
     if "_src_pos" not in b.columns:
@@ -103,19 +105,25 @@ def merge_seen(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     if existing is not None:
         e = existing.withColumn("_src_pos", F.lit(-1).cast("long")).withColumn("_is_new", F.lit(0))
         b = e.unionByName(b.select(*e.columns))
-    w = Window.partitionBy("url").orderBy("_is_new", "_src_pos")
-    dl = Window.partitionBy("url")
+    newest = Window.partitionBy("url").orderBy(F.desc("_is_new"), F.desc("_src_pos")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pick = Window.partitionBy("url").orderBy(F.desc("_is_new"), F.desc("_src_pos"))
     return (
-        b.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_dl", F.max(F.coalesce(F.col("downloaded"), F.lit(False)).cast("int")).over(dl))
+        b.withColumn("_rn", F.row_number().over(pick))
+        .withColumn("_dl", F.max(F.coalesce(F.col("downloaded"), F.lit(False)).cast("int")).over(newest))
+        .withColumn("_entry", F.first("entry_id", ignorenulls=True).over(newest))
+        .withColumn("_title", F.first("title", ignorenulls=True).over(newest))
+        .withColumn("_type", F.first("doc_type", ignorenulls=True).over(newest))
+        .withColumn("_path", F.first("local_path", ignorenulls=True).over(newest))
         .where(F.col("_rn") == 1)
         .select(
             "url",
-            "entry_id",
-            "title",
-            "doc_type",
+            F.col("_entry").alias("entry_id"),
+            F.col("_title").alias("title"),
+            F.col("_type").alias("doc_type"),
             (F.col("_dl") == 1).alias("downloaded"),
-            "local_path",
+            F.col("_path").alias("local_path"),
         )
     )
 

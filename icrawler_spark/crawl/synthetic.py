@@ -70,23 +70,40 @@ def _detail_page_html(serial: int) -> str:
     )
 
 
-def build_site(host: str = "www.example.test", n_pages: int = 4, entries_per_page: int = 3) -> dict[str, str]:
-    """url → html for one paginated listing site (default dialect)."""
+def build_site(
+    host: str = "www.example.test",
+    n_pages: int = 4,
+    entries_per_page: int = 3,
+    with_attachments: bool = False,
+) -> dict[str, str | bytes]:
+    """url → content for one paginated listing site (default dialect).
+
+    ``with_attachments`` adds the pdf/docx payloads the listing and detail
+    pages link to (bytes values) so the download stage has a corpus."""
     base = f"https://{host}"
-    site: dict[str, str] = {}
+    site: dict[str, str | bytes] = {}
     for p in range(n_pages):
         name = "index.html" if p == 0 else f"index_{p}.html"
         site[f"{base}/list/{name}"] = _listing_page_html(host, p, n_pages, entries_per_page)
     for serial in range(1, n_pages * entries_per_page + 1):
         site[f"{base}/list/detail_{serial}.html"] = _detail_page_html(serial)
+        if with_attachments:
+            site[f"{base}/files/doc_{serial}.pdf"] = b"%PDF-1.4 fake payload " + str(serial).encode()
+            site[f"{base}/files/att_{serial}.docx"] = b"PK fake docx payload " + str(serial).encode()
     return site
 
 
-def site_pages_df(spark: SparkSession, site: dict[str, str], lang: str = "zh") -> DataFrame:
+def site_pages_df(spark: SparkSession, site: dict[str, str | bytes], lang: str = "zh") -> DataFrame:
     """Pure-Python site → input_hint pages table (url, warc_ts, html, text, lang)."""
     rows = [
-        (url, _EPOCH + _dt.timedelta(seconds=i), html.encode("utf-8"), "", lang)
-        for i, (url, html) in enumerate(sorted(site.items()))
+        (
+            url,
+            _EPOCH + _dt.timedelta(seconds=i),
+            content if isinstance(content, bytes) else content.encode("utf-8"),
+            "",
+            lang,
+        )
+        for i, (url, content) in enumerate(sorted(site.items()))
     ]
     return spark.createDataFrame(
         rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"

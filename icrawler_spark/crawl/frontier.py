@@ -270,6 +270,16 @@ class CrawlEngine:
         cfg = self.cfg
         rnd = self._round
         t0 = time.time()
+        import os as _os
+
+        _prof = _os.environ.get("ICRAWLER_PROFILE") == "1"
+        _last = [t0]
+
+        def _mark(stage: str) -> None:
+            if _prof:
+                now = time.time()
+                print(f"[round {rnd}] {stage}: {now - _last[0]:.1f}s", flush=True)
+                _last[0] = now
 
         pending = self.pending
         n_pending_before = self._n_pending
@@ -293,6 +303,7 @@ class CrawlEngine:
         else:
             n_batch = batch.count()
         n_deferred = n_pending_before - n_batch
+        _mark("batch")
 
         # fetch = broadcast the (small) batch against the (huge) pages table
         fetched = (
@@ -302,6 +313,7 @@ class CrawlEngine:
         )
         n_fetched = fetched.count()
         n_missing = n_batch - n_fetched
+        _mark("fetch")
 
         batch_visited = batch.join(
             fetched.select("url", F.lit("fetched").alias("_st")), "url", "left"
@@ -336,6 +348,7 @@ class CrawlEngine:
         else:
             n_links = links.count()
             big_round = n_links > cfg.big_round_threshold
+        _mark("parse+links")
 
         wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
         new_links = (
@@ -357,6 +370,7 @@ class CrawlEngine:
             else:
                 new_links = new_links.join(self.visited.select("url"), "url", "left_anti")
         new_links = new_links.join(batch.select("url"), "url", "left_anti")
+        _mark("dedup+bloom+anti(plan)")
         if deferred is not None:
             new_links = new_links.join(deferred.select("url"), "url", "left_anti")
 
@@ -374,6 +388,7 @@ class CrawlEngine:
             "discovered_round",
             "discovery_pos",
         )
+        _mark("positions(plan)")
 
         # entries/documents/seen merge (the listing side of the round)
         n_entries = n_docs = 0
@@ -432,21 +447,34 @@ class CrawlEngine:
         )
         if cfg.use_bloom:
             self._bloom_add_batch(batch)
+        _mark("bloom_add")
 
         self._visited_parts.append(self._pin(batch_visited, rnd, "visited"))
         self.visited = self._union_visited()
-        self.pending = self._pin(self.pending, rnd, "pending")
+        _mark("pin_visited")
+        prev_pending = pending
+        if self.store is None and big_round:
+            # memory mode, big round: the distributed positions path already
+            # checkpointed the heavy lineage — a cache is enough, skip the
+            # second materializing write
+            self.pending = self.pending.persist()
+        else:
+            self.pending = self._pin(self.pending, rnd, "pending")
+        _mark("pin_pending")
         self.entries = self._pin(self.entries, rnd, "entries")
         self.documents = self._pin(self.documents, rnd, "documents")
         self.seen = self._pin(self.seen, rnd, "seen")
 
         self._n_pending = self.pending.count()
+        _mark("pending_count")
         n_new = self._n_pending - n_deferred
         self._next_pos += n_new
 
         batch.unpersist()
         fetched.unpersist()
         links.unpersist()
+        if self.store is None and prev_pending is not None:
+            prev_pending.unpersist()
 
         m = RoundMetrics(
             round=rnd,

@@ -237,3 +237,41 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     clean = fresh.join(taken, fresh.serial == taken.serial, "left_anti")
     inserted = clean.unionByName(conflict).select("entry_id", "task", "serial", "title", "remark")
     return updated.unionByName(inserted)
+
+
+def compact_tables(entries: DataFrame, documents: DataFrame) -> tuple[DataFrame, DataFrame, dict]:
+    """Dedupe-maintenance pass (ref scripts/dedupe_state.py:60-97): collapse
+    entries that share any document URL into one canonical entry (the
+    re-canonicalization ``from_jsonable``→``ensure_entry`` performs), and
+    drop duplicate (entry, url) document rows.
+
+    One-step collapse: url → min(entry_id) → entry remap; the reference's
+    incremental ensure_entry is also single-step per entry. Returns
+    (entries', documents', metrics)."""
+    canon_by_url = documents.groupBy("url").agg(F.min("entry_id").alias("_canon"))
+    entry_map = (
+        documents.join(canon_by_url, "url")
+        .groupBy("entry_id")
+        .agg(F.min("_canon").alias("_target"))
+    )
+    remapped_docs = (
+        documents.join(entry_map, "entry_id", "left")
+        .withColumn("entry_id", F.coalesce(F.col("_target"), F.col("entry_id")))
+        .drop("_target")
+    )
+    docs2 = merge_documents(None, remapped_docs.withColumn(
+        "_src_pos", F.monotonically_increasing_id()
+    ))
+    ent2 = (
+        entries.join(entry_map, "entry_id", "left")
+        .withColumn("_target", F.coalesce(F.col("_target"), F.col("entry_id")))
+        .where(F.col("entry_id") == F.col("_target"))
+        .drop("_target")
+    )
+    metrics = {
+        "entries_before": entries.count(),
+        "entries_after": ent2.count(),
+        "documents_before": documents.count(),
+        "documents_after": docs2.count(),
+    }
+    return ent2, docs2, metrics

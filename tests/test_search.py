@@ -153,3 +153,29 @@ def test_clause_chinese_numerals():
 def test_clause_no_match_returns_none():
     assert extract_clause_text("没有条款的文本", parse_clause_reference("第五条")) is None
     assert parse_clause_reference("没有编号") is None
+
+
+def test_title_catalog_match_tiers(spark):
+    from icrawler_spark.search.catalog import match_titles
+
+    catalog = spark.createDataFrame(
+        [("e1", "支付机构管理办法"), ("e2", "存款保险条例"), ("e3", "支付机构管理办法")],
+        "entry_id string, norm_title string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "支付机构管理办法"),        # exact — returns the whole bucket
+            (2, "关于存款保险条例的通知"),  # partial (catalog title ⊂ query)
+            (3, "存款保险条理"),            # fuzzy (1 char off, ratio ≥ 0.75)
+            (4, "完全无关的标题内容"),      # no match
+        ],
+        "qid int, title string",
+    )
+    rows = match_titles(queries, catalog).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append((r.entry_id, r.tier))
+    assert sorted(by_qid[1]) == [("e1", "exact"), ("e3", "exact")]
+    assert by_qid[2] == [("e2", "partial")]
+    assert by_qid[3] == [("e2", "fuzzy")]
+    assert 4 not in by_qid

@@ -127,3 +127,30 @@ def test_merge_seen_never_unsets_downloaded(spark):
     out = merge_seen(seen, batch).collect()
     assert len(out) == 1
     assert out[0].downloaded is True  # ref state.py:164-172
+
+
+def test_compact_tables_collapses_shared_urls(spark):
+    from icrawler_spark.crawl.state import compact_tables
+
+    entries = spark.createDataFrame(
+        [("eA", "t", 1, "甲", ""), ("eB", "t", 2, "甲副本", ""), ("eC", "t", 3, "乙", "")],
+        "entry_id string, task string, serial int, title string, remark string",
+    )
+    documents = spark.createDataFrame(
+        [
+            ("eA", "http://x/shared.pdf", "pdf", "a"),
+            ("eB", "http://x/shared.pdf", "pdf", "a-dup"),   # same url → collapse
+            ("eB", "http://x/b.html", "html", "b"),
+            ("eC", "http://x/c.pdf", "pdf", "c"),
+        ],
+        "entry_id string, url string, doc_type string, title string",
+    )
+    ent2, docs2, m = compact_tables(entries, documents)
+    assert m["entries_before"] == 3 and m["entries_after"] == 2
+    ids = {r.entry_id for r in ent2.collect()}
+    assert ids == {"eA", "eC"}
+    docs = {(r.entry_id, r.url) for r in docs2.collect()}
+    # eB's documents moved under eA; duplicate (entry,url) collapsed
+    assert ("eA", "http://x/shared.pdf") in docs
+    assert ("eA", "http://x/b.html") in docs
+    assert len([d for d in docs if d[1] == "http://x/shared.pdf"]) == 1

@@ -476,6 +476,21 @@ class CrawlEngine:
         if self.store is None and prev_pending is not None:
             prev_pending.unpersist()
 
+        # per-partition lineage (north_rule): which salted shard carried how
+        # many fetches this round — the skew audit trail. Checkpoint mode
+        # only; one extra small agg job per committed round.
+        if self.store is not None:
+            lineage = (
+                batch.groupBy(
+                    F.pmod(F.xxhash64(F.col("netloc"), F.lit(rnd)), F.lit(cfg.n_host_shards)).alias("shard")
+                )
+                .agg(F.count(F.lit(1)).alias("n_urls"), F.countDistinct("netloc").alias("n_hosts"))
+                .withColumn("round", F.lit(rnd))
+            )
+            lineage.write.mode("overwrite").parquet(
+                f"{self.store.root}/round={rnd:06d}/lineage"
+            )
+
         m = RoundMetrics(
             round=rnd,
             pages_fetched=n_fetched,

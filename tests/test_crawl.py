@@ -150,3 +150,16 @@ def test_bloom_disabled_same_result(spark, site, pages):
     e2.run()
     assert e1.crawl_order() == e2.crawl_order()
     assert e1.seen_urls() == e2.seen_urls()
+
+
+def test_per_partition_lineage_checkpointed(spark, site, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    eng = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=2, checkpoint_dir=ckpt)
+    )
+    eng.run()
+    lineage = spark.read.parquet(f"{ckpt}/round=000000/lineage")
+    rows = lineage.collect()
+    assert {c for c in lineage.columns} == {"shard", "n_urls", "n_hosts", "round"}
+    assert sum(r.n_urls for r in rows) == 1  # round 0 fetched the seed
+    shutil.rmtree(ckpt, ignore_errors=True)

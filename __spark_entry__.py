@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from icrawler_spark.queries import all_oracles, all_queries  # noqa: E402
+from icrawler_spark.session import _ship_package  # noqa: E402
+
+
+def _wrap(fn):
+    """The driver supplies its own SparkSession; pandas-UDF queries need the
+    package importable on executor Python workers, so ship the zip first."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from icrawler_spark.queries.textops import exact_dedup, quality_score
 
+    _ship_package(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     canon = exact_dedup(spark, sf_dir).select(
@@ -46,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

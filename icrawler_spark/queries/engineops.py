@@ -103,3 +103,54 @@ QUERIES = {
     "crawl_frontier_round": (crawl_frontier_round, None),
     "search_topk": (search_topk, None),
 }
+
+
+def curation_pipeline(spark, sf_dir):
+    """The flagship corpus-curation pipeline as an oracle-checked query:
+    exact-dedup canonical docs ⋈ per-doc quality → per-(lang, source)
+    rollup. Same dataflow as ``__spark_entry__.entry``."""
+    from pyspark.sql import functions as F
+
+    from .textops import exact_dedup, quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    canon = exact_dedup(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id"), "n_copies"
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        docs.join(canon, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_raw_copies"),
+            F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias("quality_sum_micro"),
+        )
+    )
+
+
+CURATION_PIPELINE_SQL = """
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+),
+q AS (
+  SELECT doc_id,
+         (n_dist / n_tok) * 2.0 + n_stop / n_tok AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_tok,
+           CAST(length(list_distinct(t)) AS BIGINT) AS n_dist,
+           CAST(length(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+  )
+)
+SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       CAST(SUM(c.n_copies) AS BIGINT) AS n_raw_copies,
+       CAST(SUM(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_sum_micro
+FROM documents d JOIN canon c USING (doc_id) JOIN q USING (doc_id)
+GROUP BY d.lang, d.source
+"""
+
+QUERIES["curation_pipeline"] = (curation_pipeline, CURATION_PIPELINE_SQL)

@@ -233,3 +233,59 @@ QUERIES = {
     "cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
 }
+
+
+def ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: every vector assigned to its nearest
+    (deterministic) label centroid by squared L2 — the index-build step of
+    IVF-flat ANN. At scale the centroid table is broadcast (k entries) and
+    assignment is one map-side join; here centroids come from the exact
+    sequential-fold computation in ``label_centroids``."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "value"))).alias("cv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("cv"), lambda x: x["value"]).alias("cvec"),
+        )
+    )
+    pairs = e.select("vec_id", _vec().alias("v")).crossJoin(F.broadcast(cent))
+    d2 = _fold_sum(F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)))
+    w = pairs.select("vec_id", "c_label", d2.alias("d2"))
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        w.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned_label"), "d2")
+    )
+
+
+IVF_ASSIGN_SQL = f"""
+WITH g AS (
+  SELECT label, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
+  FROM (SELECT label, vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+  GROUP BY label
+),
+cent AS (
+  SELECT label AS c_label,
+         list_transform(range(1, {_DIM + 1}), i ->
+           list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y) / n) AS cvec
+  FROM g
+),
+pairs AS (
+  SELECT e.vec_id, c.c_label,
+         list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}),
+           i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))), (s, x) -> s + x) AS d2
+  FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings) e, cent c
+)
+SELECT vec_id, c_label AS assigned_label, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+QUERIES["ivf_assign"] = (ivf_assign, IVF_ASSIGN_SQL)

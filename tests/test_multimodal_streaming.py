@@ -122,3 +122,37 @@ def test_streaming_dedup(spark, tmp_path):
     )
     assert got == want
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_user_activity_tracker(spark, tmp_path):
+    from icrawler_spark.streaming.stateful import user_activity_tracker
+
+    src = _stage_events_dir(tmp_path)
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt_state")
+    run_available_now(
+        spark, src, schema, user_activity_tracker, ckpt, "user_state",
+        output_mode="update",
+    )
+    # last emitted row per user == exact batch aggregate (cents are exact)
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            "select * from (select *, row_number() over (partition by user_id order by n_events desc) rn from user_state) where rn=1"
+        ).collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        assert got[uid].n_events == b.n
+        assert got[uid].total_cents == b.cents
+    shutil.rmtree(ckpt, ignore_errors=True)

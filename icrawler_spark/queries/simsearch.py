@@ -161,14 +161,23 @@ LIMIT 10
 
 
 def cosine_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99, candidates
-    bounded by label equality (scale path would use lsh_buckets as the
-    join key instead)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", _vec().alias("v"))
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99.
+
+    Candidates come from the random-hyperplane LSH bucket (the same bucket
+    key ``lsh_buckets`` indexes on): a cosine ≥ 0.99 pair subtends ≤ 8.1°,
+    so each of the 8 sign bits agrees with prob ≈ 1 − 8.1/180 ≈ 0.955 and
+    the full 8-bit bucket with prob ≈ 0.69 per table (multi-probe / extra
+    tables tighten recall at scale). The join is an equi-join on the bucket
+    key — bounded bucket fanout, never a group-bounded self-join — and only
+    candidates pay the exact-cosine verify. The DuckDB oracle replicates
+    the identical bucket semantics, so the gate stays exact."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket")
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -179,9 +188,12 @@ def cosine_dup_pairs(spark, sf_dir):
 
 
 COSINE_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, label, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+WITH e AS (
+  SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cosine_sql('a.v', 'b.v')} AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
 """
 

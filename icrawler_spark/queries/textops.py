@@ -215,37 +215,51 @@ _SHINGLES_SQL = (
 def ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: 3-word shingles, pairs with J ≥ 0.8.
 
-    Correctness form joins within ``lang`` partitions (bounded fanout); the
-    scale path is minhash_lsh_pairs below, which replaces the quadratic
-    candidate generation with band buckets.
-    """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _shingles(F.col("text")).alias("sh")
+    Candidates come from the MinHash-LSH band buckets (``_lsh_candidates``)
+    — an equi-join on the band key, never a group-bounded self-join — and
+    only candidate pairs pay the exact shingle-set Jaccard verify. This is
+    the 100 TB shape: candidate volume is bounded by bucket sizes, and the
+    verify join touches O(candidates) rows. Recall is the LSH contract
+    (a J ≥ 0.8 pair agrees on a whole 4-row band with prob ≥ 1-(1-0.8⁴)⁴
+    ≈ 0.92; raise bands/perms to tighten); the DuckDB oracle replicates the
+    identical band semantics so the gate is exact."""
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
-    union = (F.size("a.sh") + F.size("b.sh")).cast("long") - inter
+    cand = _lsh_candidates(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter / union).alias("jaccard"),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
     )
 
 
-NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, lang, {_SHINGLES_SQL} AS sh
-  FROM (SELECT doc_id, lang, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+NGRAM_JACCARD_SQL_TEMPLATE = """
+WITH sig AS (
+  SELECT doc_id, s.perm AS perm, s.minhash AS minhash FROM ({sig_inner})
+),
+bands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.perm // {band_rows} AS band,
+         SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS n_match
+  FROM sig a JOIN sig b ON a.perm = b.perm AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM bands WHERE n_match = {band_rows}
+),
+sh AS (
+  SELECT doc_id, {shingles} AS sh
+  FROM (SELECT doc_id, {tokens} AS t FROM documents)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT)
          / (CAST(length(a.sh) + length(b.sh) AS BIGINT) - length(list_intersect(a.sh, b.sh))) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
 WHERE CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT)
       / (CAST(length(a.sh) + length(b.sh) AS BIGINT) - length(list_intersect(a.sh, b.sh))) >= 0.8
 """
@@ -302,17 +316,11 @@ SELECT doc_id, s.perm AS perm, s.minhash AS minhash FROM ({_minhash_sig_sql_inne
 """
 
 
-def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup: band the 16-perm signature into 4 bands of 4
-    rows, bucket-join on (band, md5(band values)), verify candidates with
-    estimated Jaccard = matching perms / 16 ≥ 0.5.
-
-    This is the 100 TB dedup path: candidate generation is an equi-join on
-    the band key (shuffle bounded by bucket sizes), never a cross join.
-    """
-    # the signature feeds three plan branches (bands + both join sides) —
-    # pin it so Spark computes it once
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+def _lsh_candidates_from_sig(sig):
+    """Band the 16-perm signature into 4 bands of 4 rows and bucket-join on
+    (band, md5(band values)) → distinct (doc_a, doc_b) candidate pairs.
+    The shared candidate generator for every near-dup verify stage —
+    always an equi-join on the band key, never a group-bounded self-join."""
     bands = (
         sig.withColumn("band", (F.col("perm") / _BAND_ROWS).cast("long"))
         .groupBy("doc_id", "band")
@@ -325,12 +333,32 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _lsh_candidates(spark, sf_dir):
+    """Candidate pairs over the documents table (signature pinned once)."""
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    return _lsh_candidates_from_sig(sig)
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup: band the 16-perm signature into 4 bands of 4
+    rows, bucket-join on (band, md5(band values)), verify candidates with
+    estimated Jaccard = matching perms / 16 ≥ 0.5.
+
+    This is the 100 TB dedup path: candidate generation is an equi-join on
+    the band key (shuffle bounded by bucket sizes), never a cross join.
+    """
+    # the signature feeds three plan branches (bands + both join sides) —
+    # pin it so Spark computes it once
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _lsh_candidates_from_sig(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
     est = (
@@ -340,6 +368,14 @@ def minhash_lsh_pairs(spark, sf_dir):
         .where(F.col("est_jaccard") >= 0.5)
     )
     return est
+
+
+NGRAM_JACCARD_SQL = NGRAM_JACCARD_SQL_TEMPLATE.format(
+    sig_inner=_minhash_sig_sql_inner(),
+    band_rows=_BAND_ROWS,
+    shingles=_SHINGLES_SQL,
+    tokens=_TOKENS_SQL.format(c="text"),
+)
 
 
 # Oracle avoids the band-key hashing (json formatting differs across engines):
@@ -411,33 +447,80 @@ FROM (
 """
 
 
-def simhash_dup_pairs(spark, sf_dir):
-    """SimHash near-dup: pairs with Hamming distance ≤ 6 over the 48-bit
-    signature. Candidate generation buckets on the top-16-bit prefix (at
-    scale: multi-table SimHash pigeonhole); verify with bit_count(xor)."""
-    sh = simhash(spark, sf_dir).withColumn("prefix", F.shiftright(F.col("simhash"), 32))
-    a = sh.alias("a")
-    b = sh.alias("b")
+# 7-block pigeonhole over the 48-bit signature: a pair with Hamming ≤ 6 has
+# at most 6 differing bits, which can touch at most 6 of the 7 disjoint
+# blocks — so at least one block matches EXACTLY. Candidates = union of the
+# 7 per-block bucket joins; recall is therefore 100% for the ≤6 threshold
+# (the standard multi-table SimHash scheme, no probabilistic miss).
+_SIMHASH_MAX_HAMMING = 6
+_SIMHASH_BLOCKS = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6)]
+
+
+def simhash_pairs_from_signatures(sig):
+    """(doc_id, simhash) → near-dup pairs with Hamming ≤ 6.
+
+    Scale shape: each signature explodes into 7 (block_id, block_key) rows;
+    candidates come from an equi-join on (block_id, block_key) — bounded
+    bucket fanout, never a prefix-only bucket that can drop pairs whose
+    differing bits hit the prefix."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << ln) - 1))
+                .alias("block_key"),
+            )
+            for i, (off, ln) in enumerate(_SIMHASH_BLOCKS)
+        ]
+    )
+    keyed = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id",
+        "simhash",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.block_key").alias("block_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
-        .where(F.col("hamming") <= 6)
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()  # a pair can match in up to 7 blocks
     )
 
 
+def simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup: pairs with Hamming distance ≤ 6 over the 48-bit
+    signature, via the exact 7-block pigeonhole candidate scheme."""
+    return simhash_pairs_from_signatures(simhash(spark, sf_dir))
+
+
+_SIMHASH_BLOCKS_SQL = ", ".join(f"({i}, {off}, {ln})" for i, (off, ln) in enumerate(_SIMHASH_BLOCKS))
+
 SIMHASH_DUP_SQL = f"""
-WITH sh AS ({SIMHASH_SQL.strip()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+WITH sh AS ({SIMHASH_SQL.strip()}),
+keyed AS (
+  SELECT doc_id, simhash, b.block_id,
+         (simhash >> b.off) & ((CAST(1 AS BIGINT) << b.len) - 1) AS block_key
+  FROM sh, (VALUES {_SIMHASH_BLOCKS_SQL}) AS b(block_id, off, len)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM (SELECT doc_id, simhash, simhash >> 32 AS prefix FROM sh) a
-JOIN (SELECT doc_id, simhash, simhash >> 32 AS prefix FROM sh) b
-  ON a.prefix = b.prefix AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+FROM keyed a
+JOIN keyed b
+  ON a.block_id = b.block_id AND a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 

@@ -126,6 +126,8 @@ def run_download_stage(
         second = fetch_and_mark(att_cand).persist()
 
     def downloaded_rows(df: DataFrame) -> DataFrame:
+        # marks are per-url unique; the hash is only a deterministic
+        # (repartition-stable) tie-break for merge_seen's newest-wins window
         return df.select(
             "url",
             "entry_id",
@@ -133,7 +135,7 @@ def run_download_stage(
             F.col("_ntype").alias("doc_type"),
             F.lit(True).alias("downloaded"),
             F.col("_fname").alias("local_path"),
-            F.monotonically_increasing_id().alias("_src_pos"),
+            F.xxhash64("url").alias("_src_pos"),
         )
 
     marks = downloaded_rows(first)
@@ -155,7 +157,7 @@ def run_download_stage(
                 F.col("_ntype").alias("doc_type"),
                 F.lit(True).alias("downloaded"),
                 F.col("_fname").alias("local_path"),
-                F.monotonically_increasing_id().alias("_src_pos"),
+                F.xxhash64("url").alias("_src_pos"),
             )
         )
 

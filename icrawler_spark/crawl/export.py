@@ -29,7 +29,15 @@ from ..functions.pure import classify_document_type
 
 def state_export_df(entries: DataFrame, documents: DataFrame) -> DataFrame:
     """One row per entry: (serial, title, remark, documents array, sort rank)."""
-    docs = documents.withColumn("_pos", F.monotonically_increasing_id())
+    # document array order = discovery order, carried as data (_src_pos from
+    # merge_documents); content-struct order is the deterministic fallback
+    # for tables that never went through a merge.
+    if "_src_pos" in documents.columns:
+        docs = documents.withColumn("_pos", F.struct(F.col("_src_pos")))
+    else:
+        docs = documents.withColumn(
+            "_pos", F.struct(F.col("doc_type"), F.col("url"), F.col("title"))
+        )
     nested = docs.groupBy("entry_id").agg(
         F.array_sort(
             F.collect_list(

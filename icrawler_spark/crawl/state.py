@@ -97,10 +97,15 @@ def merge_seen(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
       (state.py:186-228) — while ``downloaded`` only ever upgrades
       false→true (state.py:164-172);
     - batch order is discovery order (``_src_pos``), newest = greatest.
+
+    Batches without ``_src_pos`` get a deterministic content-hash
+    pseudo-order (repartition-stable) — never
+    ``monotonically_increasing_id``, whose partition-layout dependence
+    would make the winner flip under an upstream repartition.
     """
     b = batch
     if "_src_pos" not in b.columns:
-        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+        b = b.withColumn("_src_pos", F.xxhash64(*[F.col(c) for c in b.columns]))
     b = b.withColumn("_is_new", F.lit(1))
     if existing is not None:
         e = existing.withColumn("_src_pos", F.lit(-1).cast("long")).withColumn("_is_new", F.lit(0))
@@ -139,19 +144,30 @@ def resolve_entry_identity(new_entries: DataFrame, existing_documents: DataFrame
     position); otherwise derive: first html doc url → first doc url →
     'title::remark' → 'serial::N'.
     """
+    # per-row key for the explode→join-back identity resolution. MUST be a
+    # pure function of row content: the plan branches (ne + exploded), and a
+    # monotonically_increasing_id recomputed per-branch under different
+    # partition layouts would break the self-join. (page_url, entry_pos) is
+    # unique per parsed entry by construction.
     ne = new_entries.withColumn(
-        "_eid", F.monotonically_increasing_id()
+        "_eid",
+        F.concat_ws("\u001f", F.col("page_url"), F.col("entry_pos").cast("string")),
     )
+    # F.get (not [0]): ANSI mode throws on out-of-bounds for entries whose
+    # documents array is empty — get() returns NULL and coalesce moves on
     derived = (
         F.coalesce(
-            F.filter(F.col("documents"), lambda d: d["doc_type"] == "html")[0]["url"],
-            F.col("documents")[0]["url"],
+            F.get(F.filter(F.col("documents"), lambda d: d["doc_type"] == "html"), 0)["url"],
+            F.get(F.col("documents"), 0)["url"],
             F.when(
                 (F.coalesce(F.col("title"), F.lit("")) != "")
                 | (F.coalesce(F.col("remark"), F.lit("")) != ""),
                 F.concat_ws("::", F.coalesce(F.col("title"), F.lit("")), F.coalesce(F.col("remark"), F.lit(""))),
             ),
             F.concat(F.lit("serial::"), F.col("serial").cast("string")),
+            # degenerate row (no docs/title/remark/serial): position key so
+            # the id is never NULL
+            F.concat(F.lit("pos::"), F.col("_eid")),
         )
     )
     ne = ne.withColumn("_derived_id", derived)
@@ -178,20 +194,26 @@ def resolve_entry_identity(new_entries: DataFrame, existing_documents: DataFrame
 
 def merge_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Per-(entry_id, url) dedup, existing rows win, then first-in-batch
-    (ref state.py:134-184). batch: (entry_id, url, doc_type, title, _src_pos)."""
+    (ref state.py:134-184). batch: (entry_id, url, doc_type, title, _src_pos).
+
+    The output RETAINS ``_src_pos`` (each row's original discovery
+    position): downstream consumers — the state-export document arrays and
+    the search index's best_path pick — need the insertion order the
+    reference preserves, and it must survive merges as data."""
     b = batch
     if "_src_pos" not in b.columns:
-        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+        b = b.withColumn("_src_pos", F.xxhash64(*[F.col(c) for c in b.columns]))
     b = b.withColumn("_is_new", F.lit(1))
     if existing is not None:
-        e = existing.withColumn("_src_pos", F.lit(-1).cast("long")).withColumn("_is_new", F.lit(0))
-        b = e.unionByName(b.select(*e.columns))
+        e = existing.withColumn("_is_new", F.lit(0))
+        if "_src_pos" not in e.columns:
+            e = e.withColumn("_src_pos", F.lit(-1).cast("long"))
+        b = e.select(*b.columns).unionByName(b)
     w = Window.partitionBy("entry_id", "url").orderBy("_is_new", "_src_pos")
     return (
         b.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("entry_id", "url", "doc_type", "title", "_src_pos")
-        .drop("_src_pos")
     )
 
 
@@ -259,9 +281,9 @@ def compact_tables(entries: DataFrame, documents: DataFrame) -> tuple[DataFrame,
         .withColumn("entry_id", F.coalesce(F.col("_target"), F.col("entry_id")))
         .drop("_target")
     )
-    docs2 = merge_documents(None, remapped_docs.withColumn(
-        "_src_pos", F.monotonically_increasing_id()
-    ))
+    # remapped_docs keeps its _src_pos (merge_documents retains it), so
+    # first-wins after the remap is still discovery order
+    docs2 = merge_documents(None, remapped_docs)
     ent2 = (
         entries.join(entry_map, "entry_id", "left")
         .withColumn("_target", F.coalesce(F.col("_target"), F.col("entry_id")))

@@ -8,16 +8,32 @@ loop, the search scorer) through the driver's queries() harness:
   text unchanged (none of the boilerplate/drop rules fire on it), so the
   oracle is the identity projection — any normalization regression breaks
   the hash.
-- ``crawl_frontier_round`` / ``search_topk`` are rows-only (non-SQL ops):
-  the driver records schema + row count; full semantics are pinned by the
-  pytest oracles (tests/test_crawl.py, tests/test_search.py).
+- ``crawl_frontier_round`` is hash-gated by a DuckDB *recursive-CTE BFS*:
+  the synthetic site's pagination edge list (produced by the pure-Python
+  parser) is embedded as VALUES, and DuckDB independently recomputes the
+  reference FIFO order — round = BFS level, global position = rank by
+  (round, lexicographically-minimal link-position path) — which must
+  value-hash-equal the engine's distributed frontier loop.
+- ``search_topk`` is hash-gated by a DuckDB port of the additive fuzzy
+  score (ref policy_finder.py:1201-1252): index-side derived columns are
+  recomputed with the *pure-Python* twins (an independent implementation
+  of the native Column expressions the Spark path uses) and the score
+  arithmetic runs as CASE/list SQL in the identical left-to-right addition
+  order, so the doubles must be bit-identical.
 """
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import functions as F
 
 from .common import load
+
+_SITE_PAGES = 6
+_SITE_ENTRIES = 2
+_SITE_START = "https://www.example.test/list/index.html"
+_SITE_MISSING = "https://www.example.test/list/index_5.html"  # linked, not fetchable
 
 
 def html_text_extraction(spark, sf_dir):
@@ -50,25 +66,99 @@ SELECT doc_id, text AS extracted, 'success' AS status FROM documents
 """
 
 
-def crawl_frontier_round(spark, sf_dir):
-    """One full mini-crawl (3 listing pages, 2 entries each): returns the
-    visited table in FIFO order — the crawl-order surface as a DataFrame.
-    Ignores sf_dir (the site is synthesized deterministically)."""
-    from ..crawl import CrawlConfig, CrawlEngine, build_site, site_pages_df
+def _frontier_site():
+    """The deterministic mini-site both the Spark query and the DuckDB
+    oracle are built from: 6 listing pages, one of them (index_5) linked
+    but absent from the pages table — the ``missing`` status path."""
+    from ..crawl import build_site
 
-    site = build_site(n_pages=3, entries_per_page=2)
-    pages = site_pages_df(spark, site)
+    site = build_site(n_pages=_SITE_PAGES, entries_per_page=_SITE_ENTRIES)
+    del site[_SITE_MISSING]
+    return site
+
+
+def crawl_frontier_round(spark, sf_dir):
+    """One full mini-crawl over the 6-page site: returns the visited table
+    (url, round, global_pos, status) — the crawl-order surface as a
+    DataFrame. Ignores sf_dir (the site is synthesized deterministically)."""
+    from ..crawl import CrawlConfig, CrawlEngine, site_pages_df
+
+    pages = site_pages_df(spark, _frontier_site())
     eng = CrawlEngine(
         spark,
         pages,
-        CrawlConfig(
-            start_url="https://www.example.test/list/index.html",
-            max_rounds=10,
-            use_bloom=False,
-        ),
+        CrawlConfig(start_url=_SITE_START, max_rounds=10, use_bloom=False),
     )
     eng.run()
     return eng.visited.select("url", "round", "global_pos", "status")
+
+
+def _sql_str(s):
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _crawl_frontier_oracle_sql() -> str:
+    """Recursive-CTE BFS over the site's pagination edge list.
+
+    The edge list comes from the pure-Python pagination parser; the ORDER is
+    recomputed entirely in SQL: ``walk`` enumerates link-position paths from
+    the seed (bounded by the page count — the site has pagination cycles),
+    each url's round is its minimal path length (BFS level), its order key
+    the lexicographically smallest path at that level — exactly the
+    reference's FIFO append with first-wins dedup (ref pbc_monitor.py:
+    249-254). global_pos = dense rank over (round, path)."""
+    from ..parsers import listing
+
+    site = _frontier_site()
+    edges = []
+    for url, content in sorted(site.items()):
+        html = content if isinstance(content, str) else content.decode("utf-8")
+        meta = listing.extract_pagination_meta(url, html, _SITE_START)
+        for pos, item in enumerate(meta["links"]):
+            edges.append((url, item["url"], pos))
+    edge_vals = ", ".join(f"({_sql_str(a)}, {_sql_str(b)}, {p})" for a, b, p in edges)
+    page_vals = ", ".join(f"({_sql_str(u)})" for u in sorted(site))
+    n_urls = len({d for _, d, _ in edges} | {_SITE_START})
+    return f"""
+WITH RECURSIVE
+edges(src, dst, link_pos) AS (VALUES {edge_vals}),
+pages(url) AS (VALUES {page_vals}),
+seeds(url, idx) AS (VALUES ({_sql_str(_SITE_START)}, 0)),
+walk(url, round, ord) AS (
+    SELECT url, 0, [idx] FROM seeds
+  UNION ALL
+    SELECT e.dst, w.round + 1, list_append(w.ord, e.link_pos)
+    FROM walk w
+    JOIN pages p ON p.url = w.url
+    JOIN edges e ON e.src = w.url
+    WHERE w.round < {n_urls}
+),
+firstr AS (SELECT url, MIN(round) AS round FROM walk GROUP BY url),
+best AS (
+  SELECT w.url, w.round, MIN(w.ord) AS ord
+  FROM walk w JOIN firstr f ON w.url = f.url AND w.round = f.round
+  GROUP BY w.url, w.round
+)
+SELECT b.url,
+       CAST(b.round AS INT) AS round,
+       CAST(ROW_NUMBER() OVER (ORDER BY b.round, b.ord) - 1 AS BIGINT) AS global_pos,
+       CASE WHEN p.url IS NOT NULL THEN 'fetched' ELSE 'missing' END AS status
+FROM best b LEFT JOIN pages p ON p.url = b.url
+"""
+
+
+CRAWL_FRONTIER_SQL = _crawl_frontier_oracle_sql()
+
+
+# (entry_id, task, serial, title, remark, doc url, doc_type)
+_CATALOG = [
+    ("e1", "t1", 1, "中国人民银行关于加强支付管理的通知 银发〔2023〕12号", "", "http://x/a.pdf", "pdf"),
+    ("e2", "t1", 2, "中国人民银行公告〔2021〕第3号 存款利率管理办法", "", "http://x/b.html", "html"),
+    ("e3", "t1", 3, "国务院关于金融监管的意见", "", "http://x/c.docx", "word"),
+    ("e4", "t1", 4, "已废止的旧规定", "已废止", "http://x/d.pdf", "pdf"),
+]
+_SEARCH_QUERY = "2023年支付管理通知"
+_SEARCH_TOPK = 3
 
 
 def search_topk(spark, sf_dir):
@@ -77,31 +167,140 @@ def search_topk(spark, sf_dir):
     from ..search import build_search_index, search
 
     entries = spark.createDataFrame(
-        [
-            ("e1", "t1", 1, "中国人民银行关于加强支付管理的通知 银发〔2023〕12号", ""),
-            ("e2", "t1", 2, "中国人民银行公告〔2021〕第3号 存款利率管理办法", ""),
-            ("e3", "t1", 3, "国务院关于金融监管的意见", ""),
-            ("e4", "t1", 4, "已废止的旧规定", "已废止"),
-        ],
+        [r[:5] for r in _CATALOG],
         "entry_id string, task string, serial int, title string, remark string",
     )
     documents = spark.createDataFrame(
-        [
-            ("e1", "http://x/a.pdf", "pdf", "a"),
-            ("e2", "http://x/b.html", "html", "b"),
-            ("e3", "http://x/c.docx", "word", "c"),
-            ("e4", "http://x/d.pdf", "pdf", "d"),
-        ],
-        "entry_id string, url string, doc_type string, title string",
+        [(eid, url, dt, "d", 0) for eid, _t, _s, _ti, _r, url, dt in _CATALOG],
+        "entry_id string, url string, doc_type string, title string, _src_pos long",
     )
     idx = build_search_index(entries, documents)
-    return search(idx, "2023年支付管理通知", topk=3).select("entry_id", "title", "score")
+    return search(idx, _SEARCH_QUERY, topk=_SEARCH_TOPK).select("entry_id", "title", "score")
+
+
+def _search_topk_oracle_sql() -> str:
+    """DuckDB port of the additive fuzzy score over the inline catalog.
+
+    Index-side derived columns (norm_title, doc_no, year, doctype, agency,
+    tokens) are recomputed here with the pure-Python twins — an independent
+    implementation of the native Column expressions ``build_search_index``
+    uses — and embedded as VALUES; query-side constants are folded in as
+    literals exactly as ``fuzzy_score_col`` folds them driver-side. Score
+    terms are added in the identical left-to-right order so the resulting
+    doubles are bit-identical across engines."""
+    from ..functions import pure
+
+    def norm_ascii(s):
+        for a, b in pure._PUNCT_PAIRS:
+            s = s.replace(a, b)
+        return _re.sub(r"\s+", " ", s).strip()
+
+    def toks(s):
+        return [
+            x
+            for x in _re.findall(r"[一-鿿]+|[a-zA-Z0-9]+", norm_ascii(s))
+            if x not in pure.STOPWORDS_ZH
+        ]
+
+    def docno(s):
+        m = _re.search(
+            r"(银发|银办发|公告|令|会发|财金|发改|证监|保监|银保监|人民银行令|中国人民银行令)"
+            r"[〔\[\(]?\s*(\d{2,4})\s*[〕\]\)]?\s*(第?\s*\d+\s*号)?",
+            norm_ascii(s),
+        )
+        if not m or not m.group(1):
+            return None
+        y = m.group(2)
+        y = "20" + y if len(y) == 2 else y
+        tail = _re.sub(r"\s+", "", m.group(3) or "")
+        return f"{m.group(1)}[{y}]{tail}"
+
+    def doctype(s):
+        t = norm_ascii(s)
+        return next((kw for kw in pure.DOCTYPE_KEYWORDS if kw in t), None)
+
+    def agency(s):
+        t = norm_ascii(s)
+        hits = [a for a in pure.AGENCIES if a in t]
+        return "、".join(hits[:3]) if hits else None
+
+    def litlist(xs):
+        return "[" + ", ".join(_sql_str(x) for x in xs) + "]"
+
+    vals = []
+    for eid, _task, _serial, title, remark, url, _dt in _CATALOG:
+        ym = _re.search(r"((19|20)\d{2})", f"{title} {remark}")
+        vals.append(
+            f"({_sql_str(eid)}, {_sql_str(title)}, {_sql_str(norm_ascii(title))}, "
+            f"{_sql_str(docno(title) or docno(remark))}, {_sql_str(ym.group(1) if ym else '')}, "
+            f"{_sql_str(doctype(title))}, {_sql_str(agency(title))}, {_sql_str(url)}, "
+            f"{litlist(toks(title))})"
+        )
+
+    # query-side constants: the same driver-side computation fuzzy_score_col does
+    qn = pure.norm_text(_SEARCH_QUERY)
+    q_doc = pure.extract_docno(qn)
+    q_years = _re.findall(r"(?:19|20)\d{2}", qn)
+    q_doctype = pure.guess_doctype(qn)
+    q_agency = pure.guess_agency(qn)
+    phrases = _re.findall(r"[一-鿿]{2,}", qn)
+    q_tokens = list(dict.fromkeys(pure.tokenize_zh(qn)))
+
+    terms = []
+    if q_doc:
+        flat = q_doc.replace("[", "").replace("]", "")
+        terms.append(
+            f"CASE WHEN doc_no = {_sql_str(q_doc)} THEN 120.0 "
+            f"WHEN strpos(replace(replace(coalesce(doc_no,''),'[',''),']',''), {_sql_str(flat)}) > 0 "
+            f"THEN 80.0 ELSE 0.0 END"
+        )
+    if q_years:
+        yl = ", ".join(_sql_str(y) for y in q_years)
+        terms.append(
+            f"CASE WHEN year IN ({yl}) THEN 30.0 WHEN year <> '' THEN -5.0 ELSE 0.0 END"
+        )
+    if q_doctype:
+        terms.append(f"CASE WHEN doctype = {_sql_str(q_doctype)} THEN 15.0 ELSE 0.0 END")
+    if q_agency:
+        terms.append(
+            f"CASE WHEN coalesce(agency,'') <> '' AND "
+            f"(strpos(coalesce(agency,''), {_sql_str(q_agency)}) > 0 OR "
+            f"strpos({_sql_str(q_agency)}, coalesce(agency,'')) > 0) THEN 10.0 ELSE 0.0 END"
+        )
+    for ph in phrases:
+        w = min(8.0, 2.0 + len(ph) * 0.8)
+        terms.append(f"CASE WHEN strpos(norm_title, {_sql_str(ph)}) > 0 THEN {w!r} ELSE 0.0 END")
+    if q_tokens:
+        qt = litlist(q_tokens)
+        terms.append(
+            f"40.0 * (CASE WHEN length(list_distinct(list_distinct(tokens) || {qt})) > 0 "
+            f"THEN CAST(length(list_intersect(list_distinct(tokens), {qt})) AS DOUBLE) "
+            f"/ CAST(length(list_distinct(list_distinct(tokens) || {qt})) AS DOUBLE) ELSE 0.0 END)"
+        )
+    terms.append(
+        f"CASE WHEN doc_no IS NOT NULL AND strpos({_sql_str(qn)}, doc_no) > 0 THEN 30.0 ELSE 0.0 END"
+    )
+    terms.append(
+        f"CASE WHEN doctype IS NOT NULL AND strpos({_sql_str(qn)}, doctype) > 0 "
+        f"AND strpos(title, doctype) > 0 THEN 10.0 ELSE 0.0 END"
+    )
+    terms.append("CASE WHEN lower(coalesce(best_path,'')) LIKE '%.pdf' THEN 3.0 ELSE 0.0 END")
+    score = "0.0 + " + " + ".join(terms)
+    return f"""
+WITH idx(entry_id, title, norm_title, doc_no, year, doctype, agency, best_path, tokens)
+  AS (VALUES {', '.join(vals)})
+SELECT entry_id, title, {score} AS score
+FROM idx ORDER BY score DESC, entry_id ASC LIMIT {_SEARCH_TOPK}
+"""
+
+
+SEARCH_TOPK_SQL = _search_topk_oracle_sql()
 
 
 QUERIES = {
     "html_text_extraction": (html_text_extraction, HTML_TEXT_EXTRACTION_SQL),
-    "crawl_frontier_round": (crawl_frontier_round, None),
-    "search_topk": (search_topk, None),
+    "crawl_frontier_round": (crawl_frontier_round, CRAWL_FRONTIER_SQL),
+    "search_topk": (search_topk, SEARCH_TOPK_SQL),
 }
 
 

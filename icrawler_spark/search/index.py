@@ -34,21 +34,29 @@ def build_search_index(entries: DataFrame, documents: DataFrame) -> DataFrame:
 
     ``best_path`` uses the document URL as the path key (this engine keys
     artifacts by URL, not filesystem path — ref pick_best_path used
-    local_path, policy_finder.py:346-363)."""
+    local_path, policy_finder.py:346-363).
+
+    The "first document wins among equal priority" contract needs a real
+    position column: ``_src_pos`` (the crawl path's discovery position) when
+    present, else the URL as a deterministic total order. Never
+    ``monotonically_increasing_id`` — it depends on partition layout, so an
+    upstream repartition could flip the winner."""
     mapping = sorted(_BEST_PATH_ORDER.items(), key=lambda kv: -kv[1])
     expr = F.when(F.lower(F.col("doc_type")) == mapping[0][0], mapping[0][1])
     for t, p in mapping[1:]:
         expr = expr.when(F.lower(F.col("doc_type")) == t, p)
     expr = expr.otherwise(0)
 
+    if "_src_pos" in documents.columns:
+        # highest priority, then earliest discovery position
+        pick = F.max_by("url", F.struct(F.col("_prio"), -F.col("_src_pos")))
+    else:
+        # no position available: lowest URL is the deterministic stand-in
+        pick = F.min_by("url", F.struct(-F.col("_prio"), F.col("url")))
     best = (
         documents.withColumn("_prio", expr)
-        .withColumn("_pos", F.monotonically_increasing_id())
         .groupBy("entry_id")
-        .agg(
-            F.max_by("url", F.struct(F.col("_prio"), -F.col("_pos"))).alias("best_path"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+        .agg(pick.alias("best_path"), F.count(F.lit(1)).alias("n_docs"))
     )
     title = F.coalesce(F.col("title"), F.lit(""))
     remark = F.coalesce(F.col("remark"), F.lit(""))

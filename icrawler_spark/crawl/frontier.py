@@ -41,7 +41,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..parsers import udfs
@@ -66,7 +66,10 @@ class CrawlConfig:
     allowed_types: list[str] | None = None  # download-type filter (ref 588-590)
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
     big_round_threshold: int = 50_000  # switch to distributed position assign
-    fast_metrics: bool = False         # skip the links-count job (bench mode)
+    fast_metrics: bool = False         # kept for compat; counts now ride as
+                                       # observe() metrics on the pin actions
+    broadcast_batch_threshold: int = 1_000_000  # URLs; above → shuffle join
+    compact_visited_every: int = 16    # coalesce visited deltas every K rounds
 
     def seeds(self) -> list[str]:
         if self.seed_urls:
@@ -99,6 +102,25 @@ class RoundMetrics:
             self.links_new, self.entries_seen, self.documents_seen, float(self.wall_s),
             self.files_downloaded, self.files_reused,
         )
+
+
+def _obs_long(obs: Observation, key: str, fallback) -> int:
+    """Observation metric with a count() fallback.
+
+    AQE's empty-relation propagation can prune a *deep* CollectMetrics node
+    when an intermediate join result turns out empty at runtime — the
+    observation then completes with an empty, schema-less row (and pyspark's
+    ``Observation.get`` raises converting it). Top-level observations on the
+    pinned DataFrames are safe; for the deep ones this falls back to a count
+    on an already-cached input. The fallback only fires on pruned (i.e.
+    drained/empty) rounds, so it stays off the steady-state hot path."""
+    try:
+        m = obs.get
+        if key in m:
+            return int(m[key] or 0)
+    except Exception:
+        pass
+    return int(fallback())
 
 
 _METRICS_SCHEMA = (
@@ -173,6 +195,25 @@ class CrawlEngine:
             out = out.unionByName(p)
         return out
 
+    def _maybe_compact_visited(self, rnd: int) -> None:
+        """Cap the visited-union fan-in: every K rounds, coalesce the
+        per-round deltas into one pinned snapshot, so the seen-set anti-join
+        reads one table instead of a crawl-age-deep union — a 1000-round
+        crawl would otherwise pay a linearly growing plan every round. In
+        checkpoint mode the snapshot lands as ``visited_full`` inside the
+        round dir (before the commit marker) and resume prefers it."""
+        k = self.cfg.compact_visited_every
+        if k <= 0 or len(self._visited_parts) < k:
+            return
+        merged = self._union_visited()
+        if self.store is not None:
+            merged.write.mode("overwrite").parquet(
+                f"{self.store.root}/round={rnd:06d}/visited_full"
+            )
+            self._visited_parts = [self.store.read(rnd, "visited_full")]
+        else:
+            self._visited_parts = [merged.localCheckpoint(eager=True)]
+
     def _bloom_add_batch(self, batch: DataFrame) -> None:
         cfg = self.cfg
         delta = bloom_mod.build_bloom(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
@@ -186,12 +227,22 @@ class CrawlEngine:
         if self.store is not None:
             last = self.store.latest_committed_round()
             if last is not None:
-                # visited is stored as per-round deltas — union the history
-                self._visited_parts = [
+                # visited = latest compacted snapshot (if any) + later deltas
+                base = max(
+                    (r for r in range(last + 1) if self.store.has_table(r, "visited_full")),
+                    default=None,
+                )
+                parts = []
+                start = 0
+                if base is not None:
+                    parts.append(self.store.read(base, "visited_full"))
+                    start = base + 1
+                parts += [
                     self.store.read(r, "visited")
-                    for r in range(last + 1)
+                    for r in range(start, last + 1)
                     if self.store.has_table(r, "visited")
                 ]
+                self._visited_parts = parts
                 self.visited = self._union_visited()
                 self.pending = self.store.read(last, "pending")
                 self.seen = self.store.read(last, "seen") if self.store.has_table(last, "seen") else None
@@ -267,6 +318,10 @@ class CrawlEngine:
     # -- one round -------------------------------------------------------------
 
     def run_round(self) -> RoundMetrics:
+        """One frontier round. Per-round counters ride as ``observe()``
+        metrics on actions the round must run anyway (the visited/pending/
+        state pins) — the r1 design paid five extra count() jobs per round,
+        a fixed cost that capped whole-job scaling efficiency."""
         cfg = self.cfg
         rnd = self._round
         t0 = time.time()
@@ -298,23 +353,23 @@ class CrawlEngine:
             cfg.n_host_shards,
             F.pmod(F.xxhash64(F.col("netloc"), F.lit(rnd)), F.lit(cfg.n_host_shards)),
         ).persist()
-        if cfg.host_budget is None:
-            n_batch = n_pending_before  # whole frontier is the batch — no extra job
-        else:
-            n_batch = batch.count()
-        n_deferred = n_pending_before - n_batch
-        _mark("batch")
 
-        # fetch = broadcast the (small) batch against the (huge) pages table
+        # fetch join strategy: broadcast only a provably small batch — a
+        # recrawl batch of 10^7+ URLs would serialize through the driver and
+        # OOM building the broadcast relation. Above the threshold, hint
+        # shuffle-hash with the batch as build side: on a real cluster the
+        # pages table is url-bucketed (Iceberg) so only the batch shuffles.
+        if n_pending_before <= cfg.broadcast_batch_threshold:
+            batch_side = F.broadcast(batch)
+        else:
+            batch_side = batch.hint("shuffle_hash")
         fetched = (
-            self.pages.join(F.broadcast(batch), "url", "inner")
+            self.pages.join(batch_side, "url", "inner")
             .select("task", "url", "html", "depth", "discovered_round", "discovery_pos")
             .persist()
         )
-        n_fetched = fetched.count()
-        n_missing = n_batch - n_fetched
-        _mark("fetch")
 
+        obs_visited = Observation(f"visited_r{rnd}")
         batch_visited = batch.join(
             fetched.select("url", F.lit("fetched").alias("_st")), "url", "left"
         ).select(
@@ -323,11 +378,28 @@ class CrawlEngine:
             F.lit(rnd).alias("round"),
             F.col("discovery_pos").alias("global_pos"),
             F.coalesce(F.col("_st"), F.lit("missing")).alias("status"),
+        ).observe(
+            obs_visited,
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((F.col("status") == "fetched").cast("long")).alias("n_fetched"),
         )
+        # pin the visited delta FIRST: this one action materializes the batch
+        # and fetched caches and fires the batch/fetch counters
+        self._visited_parts.append(self._pin(batch_visited, rnd, "visited"))
+        self._maybe_compact_visited(rnd)
+        self.visited = self._union_visited()
+        n_batch = _obs_long(obs_visited, "n_batch", batch.count)
+        n_fetched = _obs_long(
+            obs_visited, "n_fetched", lambda: fetched.select("url").count()
+        )
+        n_missing = n_batch - n_fetched
+        n_deferred = n_pending_before - n_batch
+        _mark("fetch+pin_visited")
 
         # parse pagination links (Arrow-batched UDF), first-wins dedup in FIFO
         # append order (parent pos, link pos)
         page_inputs = fetched.withColumn("start_url", F.lit(cfg.scope_url))
+        obs_links = Observation(f"links_r{rnd}")
         links = udfs.parse_pagination_links(page_inputs).join(
             fetched.select(F.col("url").alias("page_url"), "depth", "discovery_pos"),
             "page_url",
@@ -338,17 +410,21 @@ class CrawlEngine:
             F.lit(rnd + 1).alias("discovered_round"),
             F.col("discovery_pos").alias("parent_pos"),
             "link_pos",
-        )
+        ).observe(obs_links, F.count(F.lit(1)).alias("n_links"))
         # persist is lazy: the bloom split + dedup branch the plan, so the
         # parse output must be cached either way
         links = links.persist()
-        if cfg.fast_metrics:
-            n_links = -1  # skip the count job; estimate round size instead
-            big_round = n_fetched * 4 > cfg.big_round_threshold
-        else:
-            n_links = links.count()
-            big_round = n_links > cfg.big_round_threshold
-        _mark("parse+links")
+        # the link count only materializes with the pending pin, so the
+        # big-round decision uses this round's (known) fetch count times the
+        # previous round's observed fanout
+        prev = self.metrics[-1] if self.metrics else None
+        fanout = (
+            prev.links_discovered / max(prev.pages_fetched, 1)
+            if prev is not None and prev.links_discovered > 0
+            else 4.0
+        )
+        big_round = n_fetched * max(fanout, 1.0) > cfg.big_round_threshold
+        _mark("parse(plan)")
 
         wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
         new_links = (
@@ -390,8 +466,11 @@ class CrawlEngine:
         )
         _mark("positions(plan)")
 
-        # entries/documents/seen merge (the listing side of the round)
+        # entries/documents/seen merge (the listing side of the round).
+        # Counters observe the parse output and fire with the entries/
+        # documents pins below — no standalone count jobs.
         n_entries = n_docs = 0
+        obs_entries = obs_docs = None
         if cfg.parse_entries:
             parsed = udfs.parse_listing_entries(
                 fetched.withColumn("dialect", F.lit(cfg.dialect))
@@ -402,9 +481,12 @@ class CrawlEngine:
                 "_src_pos",
                 F.col("discovery_pos") * 100000 + F.col("entry_pos"),
             )
-            with_ids = resolve_entry_identity(parsed, self.documents)
-            n_entries = with_ids.count()
+            obs_entries = Observation(f"entries_r{rnd}")
+            with_ids = resolve_entry_identity(parsed, self.documents).observe(
+                obs_entries, F.count(F.lit(1)).alias("n")
+            )
             batch_entries = with_ids.select("entry_id", "task", "serial", "title", "remark", "_src_pos")
+            obs_docs = Observation(f"docs_r{rnd}")
             batch_docs = (
                 with_ids.select("entry_id", "_src_pos", F.posexplode("documents").alias("_p", "_d"))
                 .select(
@@ -414,8 +496,8 @@ class CrawlEngine:
                     F.col("_d.title").alias("title"),
                     (F.col("_src_pos") * 1000 + F.col("_p")).alias("_src_pos"),
                 )
+                .observe(obs_docs, F.count(F.lit(1)).alias("n"))
             )
-            n_docs = batch_docs.count()
             self.entries = merge_entries(self.entries, batch_entries)
             self.documents = merge_documents(self.documents, batch_docs)
             batch_seen = batch_docs.select(
@@ -441,44 +523,45 @@ class CrawlEngine:
             n_reused = dl_metrics["files_reused"]
 
         # fold state, update bloom with this round's batch, pin lineage.
-        # visited: pin the DELTA only; history parts are already pinned
+        # (the visited delta was pinned up front, before the parse stage)
         self.pending = (
             new_frontier if deferred is None else deferred.unionByName(new_frontier)
         )
+        obs_pending = Observation(f"pending_r{rnd}")
+        self.pending = self.pending.observe(obs_pending, F.count(F.lit(1)).alias("n"))
         if cfg.use_bloom:
             self._bloom_add_batch(batch)
         _mark("bloom_add")
 
-        self._visited_parts.append(self._pin(batch_visited, rnd, "visited"))
-        self.visited = self._union_visited()
-        _mark("pin_visited")
         prev_pending = pending
         if self.store is None and big_round:
             # memory mode, big round: the distributed positions path already
             # checkpointed the heavy lineage — a cache is enough, skip the
-            # second materializing write
+            # second materializing write; count() is the materializing action
+            # and fires the pending/links observations
             self.pending = self.pending.persist()
+            self._n_pending = self.pending.count()
         else:
             self.pending = self._pin(self.pending, rnd, "pending")
+            self._n_pending = _obs_long(obs_pending, "n", self.pending.count)
         _mark("pin_pending")
         self.entries = self._pin(self.entries, rnd, "entries")
         self.documents = self._pin(self.documents, rnd, "documents")
         self.seen = self._pin(self.seen, rnd, "seen")
 
-        self._n_pending = self.pending.count()
-        _mark("pending_count")
+        # deep observations (fired by the pins); cached-input fallbacks cover
+        # AQE-pruned end-of-crawl rounds
+        n_links = _obs_long(obs_links, "n_links", links.count)
+        if obs_entries is not None:
+            n_entries = _obs_long(obs_entries, "n", with_ids.count)
+        if obs_docs is not None:
+            n_docs = _obs_long(obs_docs, "n", batch_docs.count)
         n_new = self._n_pending - n_deferred
         self._next_pos += n_new
 
-        batch.unpersist()
-        fetched.unpersist()
-        links.unpersist()
-        if self.store is None and prev_pending is not None:
-            prev_pending.unpersist()
-
         # per-partition lineage (north_rule): which salted shard carried how
         # many fetches this round — the skew audit trail. Checkpoint mode
-        # only; one extra small agg job per committed round.
+        # only; runs while batch is still cached.
         if self.store is not None:
             lineage = (
                 batch.groupBy(
@@ -490,6 +573,12 @@ class CrawlEngine:
             lineage.write.mode("overwrite").parquet(
                 f"{self.store.root}/round={rnd:06d}/lineage"
             )
+
+        batch.unpersist()
+        fetched.unpersist()
+        links.unpersist()
+        if self.store is None and prev_pending is not None:
+            prev_pending.unpersist()
 
         m = RoundMetrics(
             round=rnd,

@@ -123,6 +123,51 @@ def test_uncommitted_round_is_ignored_on_resume(spark, site, pages, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_visited_compaction_preserves_semantics(spark, site, pages):
+    """compact_visited_every=1 (compact after every round) must not change
+    crawl order or seen-set — the compacted snapshot replaces the delta
+    union transparently."""
+    eng = CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=START, max_rounds=20, compact_visited_every=1),
+    )
+    eng.run()
+    ref_order, ref_seen, _ = crawl_model(site, START)
+    assert eng.crawl_order() == ref_order
+    assert eng.seen_urls() == ref_seen
+    # the union fan-in actually collapsed
+    assert len(eng._visited_parts) == 1
+
+
+def test_resume_prefers_compacted_snapshot(spark, site, pages, tmp_path):
+    """Resume from a checkpoint whose rounds carry visited_full snapshots:
+    the resumed crawl must equal the uninterrupted one."""
+    ckpt = str(tmp_path / "ckpt_compact")
+    full = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    full.run()
+
+    CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=START, max_rounds=2, checkpoint_dir=ckpt,
+                    compact_visited_every=1),
+    ).run()
+    import os
+
+    assert any(
+        os.path.isdir(os.path.join(ckpt, d, "visited_full"))
+        for d in os.listdir(ckpt)
+    )
+    resumed = CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=START, max_rounds=20, checkpoint_dir=ckpt,
+                    compact_visited_every=1),
+    )
+    resumed.run()
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_urls() == full.seen_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_bloom_no_false_negatives():
     bf = BloomFilter(capacity=10_000, fpp=0.01)
     added = pd.Series([f"https://h{i % 7}.test/p/{i}.html" for i in range(5000)])

@@ -114,13 +114,15 @@ def merge_seen(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     pick = Window.partitionBy("url").orderBy(F.desc("_is_new"), F.desc("_src_pos"))
+    # truthy-wins like the reference file records (state.py:173-184): an
+    # empty-string title/type/path never overwrites a real value
     return (
         b.withColumn("_rn", F.row_number().over(pick))
         .withColumn("_dl", F.max(F.coalesce(F.col("downloaded"), F.lit(False)).cast("int")).over(newest))
         .withColumn("_entry", F.first("entry_id", ignorenulls=True).over(newest))
-        .withColumn("_title", F.first("title", ignorenulls=True).over(newest))
-        .withColumn("_type", F.first("doc_type", ignorenulls=True).over(newest))
-        .withColumn("_path", F.first("local_path", ignorenulls=True).over(newest))
+        .withColumn("_title", F.first(F.nullif(F.col("title"), F.lit("")), ignorenulls=True).over(newest))
+        .withColumn("_type", F.first(F.nullif(F.col("doc_type"), F.lit("")), ignorenulls=True).over(newest))
+        .withColumn("_path", F.first(F.nullif(F.col("local_path"), F.lit("")), ignorenulls=True).over(newest))
         .where(F.col("_rn") == 1)
         .select(
             "url",
@@ -218,46 +220,105 @@ def merge_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
 
 
 def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """Entry metadata upsert (ref state.py:94-132): matched entries update
-    title/remark in place but KEEP their existing serial; new entries whose
-    serial collides with an existing one get max(serial)+row_number.
+    """Entry metadata upsert (ref state.py:56-132): matched entries update
+    title/remark in place but KEEP their existing serial; new entries keep a
+    valid unconflicted serial, otherwise get the reference's sequential
+    ``next_serial`` (current max + 1 at their processing position).
+
+    The reference processes entries one at a time, so "in use" includes
+    serials taken by earlier entries OF THE SAME BATCH, and next_serial
+    tracks a running max that earlier assignments bump. Batch translation
+    for the i-th entry needing a serial (1-based, in _src_pos order):
+
+        a_i = max(S_i, a_{i-1}) + 1  ⇒  a_i = max_{j≤i}(S_j − j) + i + 1
+
+    where S_j is the static max (existing ∪ earlier clean batch serials)
+    before position j — two running-max windows, no iteration. The
+    conflict path is a driver-light global window: entries per round are
+    listing rows (thousands), not the URL frontier.
 
     batch: (entry_id, task, serial, title, remark, _src_pos)."""
     b = batch
     if "_src_pos" not in b.columns:
-        b = b.withColumn("_src_pos", F.monotonically_increasing_id())
+        b = b.withColumn("_src_pos", F.xxhash64(*[F.col(c) for c in b.columns]))
     first_w = Window.partitionBy("entry_id").orderBy("_src_pos")
     b = b.withColumn("_rn", F.row_number().over(first_w)).where(F.col("_rn") == 1).drop("_rn")
 
     if existing is None:
-        return b.select("entry_id", "task", "serial", "title", "remark")
-
-    e = existing
-    updated = (
-        e.alias("e")
-        .join(b.alias("b"), "entry_id", "left")
-        .select(
-            "entry_id",
-            F.col("e.task").alias("task"),
-            F.col("e.serial").alias("serial"),  # keep existing serial
-            F.coalesce(F.col("b.title"), F.col("e.title")).alias("title"),
-            F.coalesce(F.col("b.remark"), F.col("e.remark")).alias("remark"),
+        e_max = F.lit(0).cast("int")
+        fresh = b
+        updated = None
+    else:
+        e = existing
+        updated = (
+            e.alias("e")
+            .join(b.alias("b"), "entry_id", "left")
+            .select(
+                "entry_id",
+                F.col("e.task").alias("task"),
+                F.col("e.serial").alias("serial"),  # keep existing serial
+                F.coalesce(F.col("b.title"), F.col("e.title")).alias("title"),
+                F.coalesce(F.col("b.remark"), F.col("e.remark")).alias("remark"),
+            )
         )
+        fresh = b.join(e.select("entry_id"), "entry_id", "left_anti")
+        taken = e.select("serial").where(F.col("serial").isNotNull()).distinct()
+        fresh = fresh.join(
+            taken.withColumn("_taken", F.lit(True)), "serial", "left"
+        )
+        e_max = None  # joined below
+
+    if existing is not None:
+        max_serial = existing.agg(F.coalesce(F.max("serial"), F.lit(0)).alias("_emax"))
+        fresh = fresh.crossJoin(F.broadcast(max_serial))
+    else:
+        fresh = fresh.withColumn("_taken", F.lit(None).cast("boolean")).withColumn(
+            "_emax", F.lit(0)
+        )
+
+    # a serial is CLEAN iff valid (>0), unused by existing entries, and the
+    # first occurrence of that value within the batch (ref serial_in_use
+    # counts earlier same-batch inserts)
+    w_serial_first = Window.partitionBy("serial").orderBy("_src_pos")
+    fresh = fresh.withColumn("_dup_rn", F.row_number().over(w_serial_first))
+    clean = (
+        F.col("serial").isNotNull()
+        & (F.col("serial") > 0)
+        & F.col("_taken").isNull()
+        & (F.col("_dup_rn") == 1)
     )
-    fresh = b.join(e.select("entry_id"), "entry_id", "left_anti")
-    taken = e.select("serial").where(F.col("serial").isNotNull()).distinct()
-    max_serial = e.agg(F.coalesce(F.max("serial"), F.lit(0)).alias("_max"))
-    conflict = (
-        fresh.join(taken, fresh.serial == taken.serial, "left_semi")
-        .crossJoin(F.broadcast(max_serial))
+    wpos = Window.orderBy("_src_pos")
+    before = wpos.rowsBetween(Window.unboundedPreceding, -1)
+    upto = wpos.rowsBetween(Window.unboundedPreceding, 0)
+    fresh = (
+        fresh.withColumn("_clean", clean)
+        # S: static running max strictly before this row
+        .withColumn(
+            "_S",
+            F.greatest(
+                F.col("_emax"),
+                F.coalesce(
+                    F.max(F.when(F.col("_clean"), F.col("serial"))).over(before),
+                    F.lit(0),
+                ),
+            ),
+        )
+        # i: 1-based index among rows needing assignment
+        .withColumn("_i", F.sum((~F.col("_clean")).cast("int")).over(upto))
+        .withColumn(
+            "_assigned",
+            F.max(F.when(~F.col("_clean"), F.col("_S") - F.col("_i"))).over(upto)
+            + F.col("_i")
+            + 1,
+        )
         .withColumn(
             "serial",
-            F.col("_max") + F.row_number().over(Window.orderBy("_src_pos")),
+            F.when(F.col("_clean"), F.col("serial")).otherwise(F.col("_assigned")).cast("int"),
         )
-        .drop("_max")
     )
-    clean = fresh.join(taken, fresh.serial == taken.serial, "left_anti")
-    inserted = clean.unionByName(conflict).select("entry_id", "task", "serial", "title", "remark")
+    inserted = fresh.select("entry_id", "task", "serial", "title", "remark")
+    if updated is None:
+        return inserted
     return updated.unionByName(inserted)
 
 

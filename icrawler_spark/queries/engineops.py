@@ -229,7 +229,8 @@ def _search_topk_oracle_sql() -> str:
 
     vals = []
     for eid, _task, _serial, title, remark, url, _dt in _CATALOG:
-        ym = _re.search(r"((19|20)\d{2})", f"{title} {remark}")
+        # century prefix, like reference Entry.year (policy_finder.py:518-519)
+        ym = _re.search(r"(19|20)\d{2}", f"{title} {remark}")
         vals.append(
             f"({_sql_str(eid)}, {_sql_str(title)}, {_sql_str(norm_ascii(title))}, "
             f"{_sql_str(docno(title) or docno(remark))}, {_sql_str(ym.group(1) if ym else '')}, "
@@ -240,7 +241,7 @@ def _search_topk_oracle_sql() -> str:
     # query-side constants: the same driver-side computation fuzzy_score_col does
     qn = pure.norm_text(_SEARCH_QUERY)
     q_doc = pure.extract_docno(qn)
-    q_years = _re.findall(r"(?:19|20)\d{2}", qn)
+    q_years = _re.findall(r"(19|20)\d{2}", qn)  # group-capture, like the ref
     q_doctype = pure.guess_doctype(qn)
     q_agency = pure.guess_agency(qn)
     phrases = _re.findall(r"[一-鿿]{2,}", qn)

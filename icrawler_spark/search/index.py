@@ -73,8 +73,12 @@ def build_search_index(entries: DataFrame, documents: DataFrame) -> DataFrame:
             F.coalesce(
                 native.extract_docno(title), native.extract_docno(remark)
             ).alias("doc_no"),
+            # reference parity (policy_finder.py:518-519): findall with a
+            # group returns the GROUP — Entry.year is the century prefix
+            # ('19'/'20'), so year matching is century matching. Replicated
+            # bug-for-bug; the parity test pins it.
             F.regexp_extract(
-                F.concat_ws(" ", title, remark), r"((19|20)\d{2})", 1
+                F.concat_ws(" ", title, remark), r"(19|20)\d{2}", 1
             ).alias("year"),
             native.guess_doctype(title).alias("doctype"),
             native.guess_agency(title).alias("agency"),
@@ -92,7 +96,9 @@ def fuzzy_score_col(query: str):
     driver-side with the same pure functions the index columns use."""
     qn = pure.norm_text(query)
     q_doc = pure.extract_docno(qn)
-    q_years = [m for m in __import__("re").findall(r"(?:19|20)\d{2}", qn)]
+    # group-capture findall, like the reference (policy_finder.py:1214):
+    # query years are century prefixes too
+    q_years = [m for m in __import__("re").findall(r"(19|20)\d{2}", qn)]
     q_doctype = pure.guess_doctype(qn)
     q_agency = pure.guess_agency(qn)
     import re as _re

@@ -44,7 +44,9 @@ def index(spark):
 def test_index_derived_columns(index):
     rows = {r.entry_id: r for r in index.collect()}
     assert rows["e1"].doc_no == "银发[2023]12号"
-    assert rows["e1"].year == "2023"
+    # reference Entry.year is the century prefix — group-capture findall
+    # (policy_finder.py:518-519); pinned by test_reference_parity
+    assert rows["e1"].year == "20"
     assert rows["e1"].doctype == "通知"
     assert rows["e1"].agency == "中国人民银行"
     assert rows["e1"].best_path == "http://x/a.pdf"  # pdf beats html

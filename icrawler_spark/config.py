@@ -50,7 +50,10 @@ def load_tasks(config: dict | str) -> list[TaskSpec]:
     )
     tasks = []
     for t in data.get("tasks", []):
-        if not isinstance(t, dict) or not t.get("url"):
+        # the shipped pbc_config.json uses "start_url"; "url" kept for
+        # compatibility with the compact test fixtures
+        url = t.get("start_url") or t.get("url") if isinstance(t, dict) else None
+        if not url:
             continue
         http = HttpOptions(
             delay=float(t.get("delay", defaults.delay)),
@@ -59,11 +62,24 @@ def load_tasks(config: dict | str) -> list[TaskSpec]:
         )
         tasks.append(
             TaskSpec(
-                name=str(t.get("name") or t["url"]),
-                start_url=t["url"],
-                parser_dialect=str(t.get("parser") or "default"),
+                name=str(t.get("name") or url),
+                start_url=url,
+                parser_dialect=_dialect_of(t.get("parser")),
                 allowed_types=[str(x).lower() for x in t.get("allowed_types", [])],
                 http=http,
             )
         )
     return tasks
+
+
+def _dialect_of(parser_spec: object) -> str:
+    """Map the reference's parser module specs (pbc_config.json values like
+    'pbc_regulations.icrawler.parser_tiaofasi') onto this engine's parser
+    dialects (ref runner.py parser resolution)."""
+    s = str(parser_spec or "").rsplit(".", 1)[-1].lower()
+    if "tiaofasi" in s:
+        return "tiaofasi"
+    # parser / parser_policy are both table/txtlist-shaped → default dialect
+    if s in ("", "parser", "parser_policy", "policy", "default"):
+        return "default"
+    return s

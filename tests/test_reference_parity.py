@@ -17,9 +17,6 @@ goldens from policy_finder):
 
 from __future__ import annotations
 
-import sys
-import types
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -31,30 +28,9 @@ from icrawler_spark.crawl.state import (
 )
 
 
-def _install_stubs():
-    if "bs4" not in sys.modules:
-        bs4 = types.ModuleType("bs4")
+from tests._ref_stubs import install_reference_stubs
 
-        class BeautifulSoup:  # noqa: N801 - stub, never constructed in tested paths
-            def __init__(self, *a, **k):
-                raise RuntimeError("bs4 stub: not available in this sandbox")
-
-        bs4.BeautifulSoup = BeautifulSoup
-        sys.modules["bs4"] = bs4
-    if "requests" not in sys.modules:
-        req = types.ModuleType("requests")
-
-        class _Never:
-            def __getattr__(self, name):
-                raise RuntimeError("requests stub")
-
-        req.Session = _Never
-        req.exceptions = types.SimpleNamespace(RequestException=Exception)
-        sys.modules["requests"] = req
-
-
-_install_stubs()
-sys.path.insert(0, "/root/reference")
+install_reference_stubs()
 
 from pbc_regulations.icrawler.state import PBCState  # noqa: E402
 from pbc_regulations.searcher import policy_finder as ref_pf  # noqa: E402

@@ -113,13 +113,28 @@ def _obs_long(obs: Observation, key: str, fallback) -> int:
     ``Observation.get`` raises converting it). Top-level observations on the
     pinned DataFrames are safe; for the deep ones this falls back to a count
     on an already-cached input. The fallback only fires on pruned (i.e.
-    drained/empty) rounds, so it stays off the steady-state hot path."""
-    try:
-        m = obs.get
-        if key in m:
-            return int(m[key] or 0)
-    except Exception:
-        pass
+    drained/empty) rounds, so it stays off the steady-state hot path.
+
+    ``Observation.get`` blocks until the observed node's first action —
+    which by construction has already run when this is called — but as a
+    guard against a node Spark optimized away entirely, the wait is bounded
+    (daemon thread) before falling back."""
+    import threading
+
+    box: dict = {}
+
+    def _read() -> None:
+        try:
+            box["m"] = obs.get
+        except Exception as e:  # empty schema-less row from a pruned node
+            box["e"] = e
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout=60.0)
+    m = box.get("m")
+    if m is not None and key in m:
+        return int(m[key] or 0)
     return int(fallback())
 
 

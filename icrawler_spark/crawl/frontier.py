@@ -296,7 +296,12 @@ class CrawlEngine:
 
         Small rounds: one window. Big rounds: range-repartition on the order
         key, per-partition row_number, driver-joined partition offsets — the
-        standard distributed dense-rank, no single-partition sort."""
+        standard distributed dense-rank, no single-partition sort.
+
+        The candidate links are pinned BEFORE repartitionByRange: the range
+        partitioner's sampling pass would otherwise re-execute the whole
+        parse → dedup-window → bloom → anti-join lineage a second time
+        (measured ~45 s/round at 400k pages — half the round wall)."""
         order = [F.asc("parent_pos"), F.asc("link_pos")]
         if not big_round:
             w = Window.orderBy(*order)
@@ -305,10 +310,10 @@ class CrawlEngine:
                 (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
             )
         parts = max(self.cfg.n_host_shards, 1)
-        ranged = links.repartitionByRange(parts, *order).withColumn(
+        pinned = links.localCheckpoint(eager=True)
+        ranged = pinned.repartitionByRange(parts, *order).withColumn(
             "_pid", F.spark_partition_id()
         )
-        ranged = ranged.localCheckpoint(eager=True)  # pin partitioning
         counts = {r._pid: r.cnt for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
         if not counts:
             # all candidates were deduped/seen — empty map() would not type

@@ -31,6 +31,59 @@ _ENTRY_FIELDS = (
 )
 
 
+def coerce_topk(value, default: int = 5, limit: int = 50) -> int:
+    """Request-param coercion (ref api_server.py:123-141): empty → default,
+    clamp to [1, limit], reject booleans/non-numerics/non-positives."""
+    if value is None:
+        return default
+    if isinstance(value, bool):
+        raise ValueError("Boolean is not valid for topk")
+    if isinstance(value, (int, float)):
+        candidate = int(value)
+    elif isinstance(value, str):
+        stripped = value.strip()
+        if not stripped:
+            return default
+        candidate = int(stripped)
+    else:
+        raise ValueError("Unsupported type for topk")
+    if candidate <= 0:
+        raise ValueError("topk must be positive")
+    return max(1, min(limit, candidate))
+
+
+def coerce_bool(value) -> bool | None:
+    """Request-param boolean coercion (ref api_server.py:142-156)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)):
+        return bool(int(value))
+    if isinstance(value, str):
+        lowered = value.strip().lower()
+        if lowered in {"1", "true", "yes", "on"}:
+            return True
+        if lowered in {"0", "false", "no", "off"}:
+            return False
+    raise ValueError("Invalid boolean value")
+
+
+def parse_include_params(values) -> list[str]:
+    """Comma-splitting include-param normalization (ref api_server.py:221-233)."""
+    includes: list[str] = []
+    if not values:
+        return includes
+    for value in values:
+        if value is None:
+            continue
+        for part in str(value).split(","):
+            normalized = part.strip().lower()
+            if normalized:
+                includes.append(normalized)
+    return includes
+
+
 def _entry_payload(row, include_documents: bool, documents: dict | None) -> dict:
     payload = {"id": row.serial}
     for f in _ENTRY_FIELDS:
@@ -228,7 +281,7 @@ class PolicyService:
         entry = self.find_entry(policy_id)
         if entry is None:
             return {"error": "policy_not_found", "status": 404}
-        params = set(include or []) or {"meta"}
+        params = set(parse_include_params(include)) or {"meta"}
         if "all" in params:
             params |= {"meta", "text", "outline"}
             params.discard("all")

@@ -29,6 +29,25 @@ def install_reference_stubs() -> None:
         bs4.element = element
         sys.modules["bs4"] = bs4
         sys.modules["bs4.element"] = element
+    if "fastapi" not in sys.modules:
+        fastapi = types.ModuleType("fastapi")
+        for name in ("APIRouter", "Depends", "FastAPI", "HTTPException", "Query", "Request"):
+            setattr(fastapi, name, _StubClass)
+        cors = types.ModuleType("fastapi.middleware.cors")
+        cors.CORSMiddleware = _StubClass
+        middleware = types.ModuleType("fastapi.middleware")
+        middleware.cors = cors
+        responses = types.ModuleType("fastapi.responses")
+        responses.JSONResponse = _StubClass
+        responses.Response = _StubClass
+        fastapi.middleware = middleware
+        fastapi.responses = responses
+        sys.modules["fastapi"] = fastapi
+        sys.modules["fastapi.middleware"] = middleware
+        sys.modules["fastapi.middleware.cors"] = cors
+        sys.modules["fastapi.responses"] = responses
+    if "uvicorn" not in sys.modules:
+        sys.modules["uvicorn"] = types.ModuleType("uvicorn")
     if "requests" not in sys.modules:
         req = types.ModuleType("requests")
         req.Session = _StubClass

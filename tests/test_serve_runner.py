@@ -116,6 +116,50 @@ def test_clause_payload(service):
     assert "依法合规" in data["clause"]["paragraph_text"]
 
 
+def test_param_coercers_match_reference():
+    """Direct-import parity for the request-param coercion layer
+    (ref api_server.py:123-156, 221-233)."""
+    from tests._ref_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from pbc_regulations.searcher.api_server import (
+        _coerce_bool,
+        _coerce_topk,
+        _parse_include_params,
+    )
+
+    from icrawler_spark.serve import coerce_bool, coerce_topk, parse_include_params
+
+    for v in (None, 5, 5.9, "7", " 12 ", "", "   ", 50, 51, 1000):
+        assert coerce_topk(v) == _coerce_topk(v), v
+    for bad in (True, "abc", -1, 0, "0x2", []):
+        r = o = None
+        try:
+            r = coerce_topk(bad)
+        except ValueError:
+            r = "VE"
+        try:
+            o = _coerce_topk(bad)
+        except ValueError:
+            o = "VE"
+        assert r == o, bad
+    for v in (None, True, False, 1, 0, 2.0, "1", "true", "YES", " on ", "0", "False", "no", "off"):
+        assert coerce_bool(v) == _coerce_bool(v), v
+    for bad in ("maybe", "2x", []):
+        r = o = None
+        try:
+            r = coerce_bool(bad)
+        except ValueError:
+            r = "VE"
+        try:
+            o = _coerce_bool(bad)
+        except ValueError:
+            o = "VE"
+        assert r == o, bad
+    for v in (None, [], ["text"], ["text,outline", " META "], ["all", None, " ,x, "]):
+        assert parse_include_params(v) == _parse_include_params(v), v
+
+
 # --- runner -------------------------------------------------------------------
 
 _CONFIG = {

@@ -174,6 +174,7 @@ class CrawlEngine:
         self._round = 0
         self._n_pending = 0
         self._bloom: bloom_mod.BloomFilter | None = None
+        self._bloom_bc = None  # this round's broadcast; destroyed next round
 
     # -- state plumbing --------------------------------------------------------
 
@@ -458,6 +459,7 @@ class CrawlEngine:
         if self.visited is not None:
             if cfg.use_bloom and self._bloom is not None:
                 bc = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
+                self._bloom_bc = bc
                 flagged = bloom_mod.prefilter_unseen(new_links, "url", bc)
                 definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
                 maybe = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -599,6 +601,18 @@ class CrawlEngine:
         links.unpersist()
         if self.store is None and prev_pending is not None:
             prev_pending.unpersist()
+        # the round's bloom broadcast (megabytes per round at real capacity)
+        # is fully consumed once the pins ran — release the executor copies
+        # instead of letting 1000 rounds of bitmaps accumulate. unpersist,
+        # not destroy: a cache-evicted partition in memory mode may lazily
+        # re-fetch the broadcast from the driver; the driver copy itself is
+        # reclaimed by the ContextCleaner once this reference drops
+        if self._bloom_bc is not None:
+            try:
+                self._bloom_bc.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._bloom_bc = None
 
         m = RoundMetrics(
             round=rnd,

@@ -69,6 +69,44 @@ FROM (SELECT doc_id, text, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
 """
 
 
+# GPT-2-style pre-tokenizer (ASCII classes only so the Java and RE2 regex
+# engines agree byte-for-byte): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def token_stats_bpe(spark, sf_dir):
+    """BPE-ish token counting: the GPT-2 pre-tokenization split as one
+    regexp_extract_all pass, with per-class counts. The realistic
+    cost-estimation primitive for training-data pipelines (token budgets),
+    complementing the whitespace counts in ``token_stats``."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+
+    def n_matching(pat):
+        return F.size(F.filter(toks, lambda t: t.rlike(pat))).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+        n_matching(r"^ ?[a-zA-Z]+$").alias("n_word_tokens"),
+        n_matching(r"^ ?[0-9]+$").alias("n_number_tokens"),
+        n_matching(r"^\s+$").alias("n_ws_tokens"),
+    )
+
+
+TOKEN_STATS_BPE_SQL = rf"""
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(list_distinct(t)) AS BIGINT) AS n_distinct_bpe_tokens,
+       CAST(length(list_filter(t, x -> regexp_matches(x, '^ ?[a-zA-Z]+$'))) AS BIGINT) AS n_word_tokens,
+       CAST(length(list_filter(t, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS BIGINT) AS n_number_tokens,
+       CAST(length(list_filter(t, x -> regexp_matches(x, '^\s+$'))) AS BIGINT) AS n_ws_tokens
+FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}') AS t FROM documents)
+"""
+
+
 def quality_score(spark, sf_dir):
     """Quality scoring: mean token length, type/token ratio, stopword ratio,
     and a composite score. All ratios are exact-int divisions → identical
@@ -526,6 +564,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 
 QUERIES = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "token_stats_bpe": (token_stats_bpe, TOKEN_STATS_BPE_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),

@@ -76,6 +76,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # long iterative jobs: the ContextCleaner only reclaims unpersisted
+        # RDD/broadcast/shuffle blocks after a DRIVER GC, and the default
+        # periodic-GC interval is 30 min — a 1000-round crawl accumulates
+        # every round's blocks meanwhile (measured: round wall doubles over
+        # 50 rounds). One forced GC a minute keeps round cost flat.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if extra_conf:

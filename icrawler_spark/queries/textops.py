@@ -485,41 +485,56 @@ FROM (
 """
 
 
-# 7-block pigeonhole over the 48-bit signature: a pair with Hamming ≤ 6 has
-# at most 6 differing bits, which can touch at most 6 of the 7 disjoint
-# blocks — so at least one block matches EXACTLY. Candidates = union of the
-# 7 per-block bucket joins; recall is therefore 100% for the ≤6 threshold
-# (the standard multi-table SimHash scheme, no probabilistic miss).
+# Exact pigeonhole over the 48-bit signature, block-and-flip form: split
+# into 4 super-blocks of 12 bits — ≤ 6 differing bits over 4 blocks means
+# SOME block differs by ≤ 1 bit (pigeonhole) — so the probe side emits each
+# block's value plus its 12 single-bit flips, and the build side emits the
+# value alone. Recall is 100% for the ≤ 6 threshold (no probabilistic miss).
+#
+# Why not 7 exact-match blocks (≤ 6 diffs ⇒ one block EQUAL)? 48/7 ≈ 7-bit
+# keys give only 128 buckets per block — a disguised quadratic for uniform
+# signatures (join work ∝ 7·n²/128). The 12-bit blocks give 4096 buckets
+# and 13 probe keys: ∝ 52·n²/4096, ~17× less shuffle-join work, with the
+# same exactness. (The brute-force equivalence test pins the recall.)
 _SIMHASH_MAX_HAMMING = 6
-_SIMHASH_BLOCKS = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6)]
+_SIMHASH_BLOCK_BITS = 12
+_SIMHASH_BLOCKS = [(0, 12), (12, 12), (24, 12), (36, 12)]
 
 
 def simhash_pairs_from_signatures(sig):
-    """(doc_id, simhash) → near-dup pairs with Hamming ≤ 6.
+    """(doc_id, simhash) → near-dup pairs with Hamming ≤ 6, exact recall."""
+    def block_val(off):
+        return F.shiftright(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
+        )
 
-    Scale shape: each signature explodes into 7 (block_id, block_key) rows;
-    candidates come from an equi-join on (block_id, block_key) — bounded
-    bucket fanout, never a prefix-only bucket that can drop pairs whose
-    differing bits hit the prefix."""
-    blocks = F.array(
+    build_keys = F.array(
+        *[
+            F.struct(F.lit(i).alias("block_id"), block_val(off).alias("block_key"))
+            for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
+        ]
+    )
+    probe_keys = F.array(
         *[
             F.struct(
                 F.lit(i).alias("block_id"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << ln) - 1))
-                .alias("block_key"),
+                block_val(off).bitwiseXOR(F.lit(flip)).alias("block_key"),
             )
-            for i, (off, ln) in enumerate(_SIMHASH_BLOCKS)
+            for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
+            for flip in [0] + [1 << j for j in range(_SIMHASH_BLOCK_BITS)]
         ]
     )
-    keyed = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
-        "doc_id",
-        "simhash",
-        F.col("b.block_id").alias("block_id"),
-        F.col("b.block_key").alias("block_key"),
-    )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+
+    def keyed(arr):
+        return sig.select("doc_id", "simhash", F.explode(arr).alias("b")).select(
+            "doc_id",
+            "simhash",
+            F.col("b.block_id").alias("block_id"),
+            F.col("b.block_key").alias("block_key"),
+        )
+
+    a = keyed(probe_keys).alias("a")
+    b = keyed(build_keys).alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
@@ -534,29 +549,34 @@ def simhash_pairs_from_signatures(sig):
             ham.cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-        .distinct()  # a pair can match in up to 7 blocks
+        .distinct()  # a pair can match in several (block, flip) keys
     )
 
 
 def simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup: pairs with Hamming distance ≤ 6 over the 48-bit
-    signature, via the exact 7-block pigeonhole candidate scheme."""
+    signature, via the exact block-and-flip pigeonhole candidate scheme."""
     return simhash_pairs_from_signatures(simhash(spark, sf_dir))
 
 
-_SIMHASH_BLOCKS_SQL = ", ".join(f"({i}, {off}, {ln})" for i, (off, ln) in enumerate(_SIMHASH_BLOCKS))
+_SIMHASH_BLOCKS_SQL = ", ".join(f"({i}, {off})" for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS))
 
 SIMHASH_DUP_SQL = f"""
 WITH sh AS ({SIMHASH_SQL.strip()}),
-keyed AS (
+base AS (
   SELECT doc_id, simhash, b.block_id,
-         (simhash >> b.off) & ((CAST(1 AS BIGINT) << b.len) - 1) AS block_key
-  FROM sh, (VALUES {_SIMHASH_BLOCKS_SQL}) AS b(block_id, off, len)
+         (simhash >> b.off) & {(1 << _SIMHASH_BLOCK_BITS) - 1} AS block_key
+  FROM sh, (VALUES {_SIMHASH_BLOCKS_SQL}) AS b(block_id, off)
+),
+probe AS (
+  SELECT doc_id, simhash, block_id, xor(block_key, f.flip) AS block_key
+  FROM base, (SELECT unnest([0] || list_transform(range(0, {_SIMHASH_BLOCK_BITS}),
+                                                  j -> CAST(1 AS BIGINT) << j)) AS flip) f
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM keyed a
-JOIN keyed b
+FROM probe a
+JOIN base b
   ON a.block_id = b.block_id AND a.block_key = b.block_key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--seed-stride", type=int, default=5)
     ap.add_argument("--links-per-page", type=int, default=12)
     ap.add_argument("--filler-paragraphs", type=int, default=30)
+    ap.add_argument(
+        "--distributed-seeds",
+        action="store_true",
+        help="seed via synthetic_seed_df (executor-built) instead of a driver list",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -63,13 +68,21 @@ def main() -> None:
     pages = pages.repartition(args.cpus * 2).persist(StorageLevel.MEMORY_AND_DISK)
     pages.count()  # materialize outside the timed window
 
-    seeds = [
-        f"https://{'hot.example.test' if i < n_pages // 5 else f'host-{i % 997}.example.test'}/p/{i}.html"
-        for i in range(0, n_pages, args.seed_stride)
-    ]
+    start = "https://hot.example.test/p/0.html"
+    seeds_df = None
+    seeds = None
+    if args.distributed_seeds:
+        from icrawler_spark.crawl import synthetic_seed_df
+
+        seeds_df = synthetic_seed_df(spark, n_pages, stride=args.seed_stride, n_hosts=997)
+    else:
+        seeds = [
+            f"https://{'hot.example.test' if i < n_pages // 5 else f'host-{i % 997}.example.test'}/p/{i}.html"
+            for i in range(0, n_pages, args.seed_stride)
+        ]
     cfg = CrawlConfig(
         seed_urls=seeds,
-        start_url=seeds[0],
+        start_url=seeds[0] if seeds else start,
         max_rounds=args.rounds,
         parse_entries=False,
         use_bloom=True,
@@ -77,7 +90,7 @@ def main() -> None:
         n_host_shards=max(args.cpus, 8),
         fast_metrics=True,
     )
-    eng = CrawlEngine(spark, pages, cfg)
+    eng = CrawlEngine(spark, pages, cfg, seeds_df=seeds_df)
     t0 = time.time()
     metrics = eng.run()
     wall = time.time() - t0

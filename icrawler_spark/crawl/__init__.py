@@ -9,7 +9,7 @@ every round so a killed job resumes deterministically.
 """
 
 from .frontier import CrawlEngine, CrawlConfig
-from .synthetic import build_site, site_pages_df, synthetic_pages_df
+from .synthetic import build_site, site_pages_df, synthetic_pages_df, synthetic_seed_df
 
 __all__ = [
     "CrawlEngine",
@@ -17,4 +17,5 @@ __all__ = [
     "build_site",
     "site_pages_df",
     "synthetic_pages_df",
+    "synthetic_seed_df",
 ]

@@ -154,11 +154,18 @@ class CrawlEngine:
         pages: DataFrame,
         config: CrawlConfig,
         robots_rules: DataFrame | None = None,
+        seeds_df: DataFrame | None = None,
     ):
+        """``seeds_df`` (url string, pos long — pos unique, FIFO order) seeds
+        the frontier DISTRIBUTED: a 10^7+-URL recrawl list must come from a
+        table scan, not a driver-side Python list serialized through
+        ``createDataFrame`` (minutes of driver time and GBs of heap at 10M
+        URLs). Positions need not be dense — only unique and order-true."""
         self.spark = spark
         self.pages = pages
         self.cfg = config
         self.robots_rules = robots_rules
+        self._seeds_df = seeds_df
         self.store = SnapshotStore(spark, config.checkpoint_dir) if config.checkpoint_dir else None
         self.metrics: list[RoundMetrics] = []
         # visited is append-only: pinned per-round deltas, unioned lazily —
@@ -193,6 +200,15 @@ class CrawlEngine:
 
     def _seed_frontier(self) -> DataFrame:
         c = self.cfg
+        if self._seeds_df is not None:
+            return self._seeds_df.select(
+                F.lit(c.task).alias("task"),
+                F.col("url"),
+                _netloc_col(F.col("url")).alias("netloc"),
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("discovered_round"),
+                F.col("pos").cast("long").alias("discovery_pos"),
+            )
         rows = [
             (c.task, u, _netloc_py(u), 0, 0, i)
             for i, u in enumerate(c.seeds())
@@ -285,8 +301,15 @@ class CrawlEngine:
 
             seeded = apply_robots_filter(seeded, self.robots_rules)
         self.pending = seeded
-        self._n_pending = seeded.count() if self.robots_rules is not None else len(self.cfg.seeds())
-        self._next_pos = len(self.cfg.seeds())
+        if self._seeds_df is not None or self.robots_rules is not None:
+            agg = self.pending.agg(
+                F.count(F.lit(1)).alias("n"), F.max("discovery_pos").alias("m")
+            ).collect()[0]
+            self._n_pending = int(agg.n)
+            self._next_pos = int(agg.m if agg.m is not None else -1) + 1
+        else:
+            self._n_pending = len(self.cfg.seeds())
+            self._next_pos = len(self.cfg.seeds())
         self._round = 0
         return 0
 

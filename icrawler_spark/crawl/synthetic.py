@@ -182,3 +182,27 @@ def synthetic_pages_df(
         F.lit("").alias("text"),
         F.lit("zh").alias("lang"),
     )
+
+
+def synthetic_seed_df(
+    spark: SparkSession,
+    n_pages: int,
+    stride: int = 5,
+    n_hosts: int = 1000,
+    hot_host_fraction: float = 0.2,
+) -> DataFrame:
+    """Distributed seed frontier for ``CrawlEngine(seeds_df=...)``:
+    (url, pos) rows matching ``synthetic_pages_df``'s URL scheme, built from
+    ``spark.range`` — no driver-side list, so a 10^7-URL recrawl seed
+    materializes on executors. ``pos`` = page id (unique, order-true; the
+    engine does not require dense positions)."""
+    hot_pages = int(n_pages * hot_host_fraction)
+    df = spark.range(0, n_pages, stride).withColumnRenamed("id", "page_id")
+    host = (
+        F.when(F.col("page_id") < hot_pages, F.lit("hot.example.test"))
+        .otherwise(F.concat(F.lit("host-"), (F.col("page_id") % n_hosts).cast("string"), F.lit(".example.test")))
+    )
+    return df.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("page_id").cast("string"), F.lit(".html")).alias("url"),
+        F.col("page_id").alias("pos"),
+    )

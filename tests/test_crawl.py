@@ -168,6 +168,27 @@ def test_resume_prefers_compacted_snapshot(spark, site, pages, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_distributed_seed_df_matches_list_seeding(spark, site, pages):
+    """CrawlEngine(seeds_df=...) must reproduce the list-seeded crawl
+    exactly — order, seen-set, and position bookkeeping (sparse positions
+    are allowed: only uniqueness and order matter)."""
+    seeds = [START, "https://www.example.test/list/index_2.html"]
+    by_list = CrawlEngine(
+        spark, pages, CrawlConfig(seed_urls=seeds, start_url=START, max_rounds=20)
+    )
+    by_list.run()
+    # sparse, order-preserving positions (0, 7) instead of (0, 1)
+    seeds_df = spark.createDataFrame(
+        [(seeds[0], 0), (seeds[1], 7)], "url string, pos long"
+    )
+    by_df = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=20), seeds_df=seeds_df
+    )
+    by_df.run()
+    assert by_df.crawl_order() == by_list.crawl_order()
+    assert by_df.seen_urls() == by_list.seen_urls()
+
+
 def test_bloom_no_false_negatives():
     bf = BloomFilter(capacity=10_000, fpp=0.01)
     added = pd.Series([f"https://h{i % 7}.test/p/{i}.html" for i in range(5000)])

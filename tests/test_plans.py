@@ -72,6 +72,39 @@ def test_no_python_udf_in_relational_paths(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q.__name__
 
 
+def test_no_cartesian_products_in_registry(spark):
+    """Suite-wide 100×-scale guard: no registry query may plan a cartesian
+    product, and nested-loop joins are allowed only where a 1-row /
+    k-row broadcast side is the intended design (KNN query vector, IVF
+    centroid table). Catches any future join whose equi-condition Catalyst
+    failed to extract."""
+    from icrawler_spark.queries import all_queries
+
+    # intentional tiny-side broadcast cross joins: 1-row query vector (KNN),
+    # k-row centroid table (IVF), and 1-row global aggregates folded in as
+    # scalar sides (run summary, next-serial max, per-status max)
+    bnlj_ok = {
+        "knn_brute_force",
+        "ivf_assign",
+        "run_summary",
+        "serial_assignment",
+        "status_rollup",
+    }
+    # these two EXECUTE a crawl/search inside the query fn — plan-checked
+    # via their own suites instead
+    skip = {"crawl_frontier_round", "search_topk"}
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -8,8 +8,15 @@ Every stub raises on use, so an accidental dependency fails loudly.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "pbc_regulations"))
 
 
 class _StubClass:
@@ -56,5 +63,5 @@ def install_reference_stubs() -> None:
             RequestException=Exception, Timeout=Exception, ConnectionError=Exception
         )
         sys.modules["requests"] = req
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)

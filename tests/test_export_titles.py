@@ -7,8 +7,10 @@ from __future__ import annotations
 import pytest
 
 from icrawler_spark.crawl.export_titles import copy_documents_by_title
-from tests._ref_stubs import install_reference_stubs
+from tests._ref_stubs import install_reference_stubs, reference_available
 
+if not reference_available():
+    pytest.skip("reference checkout not present", allow_module_level=True)
 install_reference_stubs()
 
 from pbc_regulations.icrawler.export_titles import (  # noqa: E402

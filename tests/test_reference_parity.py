@@ -28,8 +28,10 @@ from icrawler_spark.crawl.state import (
 )
 
 
-from tests._ref_stubs import install_reference_stubs
+from tests._ref_stubs import install_reference_stubs, reference_available
 
+if not reference_available():
+    pytest.skip("reference checkout not present", allow_module_level=True)
 install_reference_stubs()
 
 from pbc_regulations.icrawler.state import PBCState  # noqa: E402

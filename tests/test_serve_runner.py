@@ -119,8 +119,10 @@ def test_clause_payload(service):
 def test_param_coercers_match_reference():
     """Direct-import parity for the request-param coercion layer
     (ref api_server.py:123-156, 221-233)."""
-    from tests._ref_stubs import install_reference_stubs
+    from tests._ref_stubs import install_reference_stubs, reference_available
 
+    if not reference_available():
+        pytest.skip("reference checkout not present")
     install_reference_stubs()
     from pbc_regulations.searcher.api_server import (
         _coerce_bool,

@@ -225,17 +225,18 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     valid unconflicted serial, otherwise get the reference's sequential
     ``next_serial`` (current max + 1 at their processing position).
 
-    The reference processes entries one at a time, so "in use" includes
-    serials taken by earlier entries OF THE SAME BATCH, and next_serial
-    tracks a running max that earlier assignments bump. Batch translation
-    for the i-th entry needing a serial (1-based, in _src_pos order):
-
-        a_i = max(S_i, a_{i-1}) + 1  ⇒  a_i = max_{j≤i}(S_j − j) + i + 1
-
-    where S_j is the static max (existing ∪ earlier clean batch serials)
-    before position j — two running-max windows, no iteration. The
-    conflict path is a driver-light global window: entries per round are
-    listing rows (thousands), not the URL frontier.
+    The reference processes entries one at a time, and ``serial_in_use``
+    (ref state.py:110-118) includes serials kept/ASSIGNED by earlier entries
+    of the same batch — so a literal serial equal to a value the walk just
+    assigned must itself be reassigned. Cleanliness is therefore
+    data-dependent on earlier assignments: a forward recurrence no fixed
+    window expression can close over (a window formula misses the
+    literal-equals-earlier-assigned collision, e.g. batch
+    [(A, None), (B, 1)] must yield A=1, B=2). The conflict path runs as one
+    Arrow group walk over the fresh rows: entries per round are listing rows
+    (10^3-10^4), the same cost class as the global window it replaces —
+    never the URL frontier. Static facts (membership in existing serials,
+    existing max) are still computed relationally and fed in as columns.
 
     batch: (entry_id, task, serial, title, remark, _src_pos)."""
     b = batch
@@ -276,47 +277,42 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
             "_emax", F.lit(0)
         )
 
-    # a serial is CLEAN iff valid (>0), unused by existing entries, and the
-    # first occurrence of that value within the batch (ref serial_in_use
-    # counts earlier same-batch inserts)
-    w_serial_first = Window.partitionBy("serial").orderBy("_src_pos")
-    fresh = fresh.withColumn("_dup_rn", F.row_number().over(w_serial_first))
-    clean = (
-        F.col("serial").isNotNull()
-        & (F.col("serial") > 0)
-        & F.col("_taken").isNull()
-        & (F.col("_dup_rn") == 1)
-    )
-    wpos = Window.orderBy("_src_pos")
-    before = wpos.rowsBetween(Window.unboundedPreceding, -1)
-    upto = wpos.rowsBetween(Window.unboundedPreceding, 0)
-    fresh = (
-        fresh.withColumn("_clean", clean)
-        # S: static running max strictly before this row
-        .withColumn(
-            "_S",
-            F.greatest(
-                F.col("_emax"),
-                F.coalesce(
-                    F.max(F.when(F.col("_clean"), F.col("serial"))).over(before),
-                    F.lit(0),
-                ),
-            ),
-        )
-        # i: 1-based index among rows needing assignment
-        .withColumn("_i", F.sum((~F.col("_clean")).cast("int")).over(upto))
-        .withColumn(
-            "_assigned",
-            F.max(F.when(~F.col("_clean"), F.col("_S") - F.col("_i"))).over(upto)
-            + F.col("_i")
-            + 1,
-        )
-        .withColumn(
-            "serial",
-            F.when(F.col("_clean"), F.col("serial")).otherwise(F.col("_assigned")).cast("int"),
+    # Exact sequential walk (ref state.py:124-132): a serial is kept iff
+    # valid (>0), unused by existing entries (_taken), and unused by earlier
+    # kept/ASSIGNED serials of the same batch; otherwise next_serial =
+    # running max + 1. Assigned values always exceed every existing serial
+    # (max+1), so only batch-internal collisions need the dynamic set.
+    def _serial_walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_src_pos", kind="mergesort").reset_index(drop=True)
+        mx = int(pdf["_emax"].iloc[0]) if len(pdf) else 0
+        used: set = set()
+        out = []
+        for s, taken in zip(pdf["serial"], pdf["_taken"]):
+            keep = (
+                s is not None
+                and not pd.isna(s)
+                and int(s) > 0
+                and not (taken == True)  # noqa: E712 — handles np.bool_/NaN/None
+                and int(s) not in used
+            )
+            v = int(s) if keep else mx + 1
+            used.add(v)
+            if v > mx:
+                mx = v
+            out.append(v)
+        pdf = pdf.assign(serial=pd.Series(out, dtype="int32"))
+        return pdf[["entry_id", "task", "serial", "title", "remark"]]
+
+    inserted = (
+        fresh.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            _serial_walk,
+            "entry_id string, task string, serial int, title string, remark string",
         )
     )
-    inserted = fresh.select("entry_id", "task", "serial", "title", "remark")
     if updated is None:
         return inserted
     return updated.unionByName(inserted)

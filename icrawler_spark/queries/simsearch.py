@@ -160,24 +160,32 @@ LIMIT 10
 """
 
 
-def cosine_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99.
+def cosine_dup_pairs_from_vectors(e):
+    """Multi-probe LSH near-dup core over ``(vec_id, v, bucket)`` rows.
 
-    Candidates come from the random-hyperplane LSH bucket (the same bucket
-    key ``lsh_buckets`` indexes on): a cosine ≥ 0.99 pair subtends ≤ 8.1°,
-    so each of the 8 sign bits agrees with prob ≈ 1 − 8.1/180 ≈ 0.955 and
-    the full 8-bit bucket with prob ≈ 0.69 per table (multi-probe / extra
-    tables tighten recall at scale). The join is an equi-join on the bucket
-    key — bounded bucket fanout, never a group-bounded self-join — and only
-    candidates pay the exact-cosine verify. The DuckDB oracle replicates
-    the identical bucket semantics, so the gate stays exact."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket")
+    The probe side emits its 8-bit bucket PLUS the 8 single-bit flips
+    (9 keys/row — the block-and-flip pattern of
+    ``textops.simhash_pairs_from_signatures``), so any pair whose sign
+    vectors differ in ≤ 1 plane is a candidate. At cosine = 0.99
+    (θ ≤ 8.1°) each bit agrees with p ≈ 1 − 8.1/180 ≈ 0.955, so recall is
+    P(Hamming ≤ 1) = p⁸ + 8p⁷(1−p) ≈ 0.95 at the threshold and higher
+    above it — vs ≈ 0.69 for the exact-bucket join this replaces
+    (VERDICT r2 item 1). The probes of one row are 9 distinct values and
+    the other side keeps its single bucket, so each unordered pair matches
+    at most one probe key — no dedup pass needed. Still a pure equi-join
+    on the bucket key (9× fanout on one side), never a self-cross; only
+    candidates pay the exact-cosine verify."""
+    probes = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
+            lambda j: F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), j).cast("long")),
+        ),
     )
-    a = e.alias("a")
+    a = e.select("vec_id", "v", F.explode(probes).alias("probe")).alias("a")
     b = e.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -187,13 +195,31 @@ def cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99, candidates from
+    multi-probe (1-bit-flip) random-hyperplane LSH — see
+    ``cosine_dup_pairs_from_vectors``. The DuckDB oracle mirrors the probe
+    semantics exactly; measured recall vs brute force is asserted in
+    tests/test_dedup_scale.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket")
+    )
+    return cosine_dup_pairs_from_vectors(e)
+
+
 COSINE_DUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket
   FROM (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
+),
+p AS (
+  SELECT vec_id, v,
+         unnest(list_prepend(bucket, list_transform(range(0, {_N_PLANES}),
+                j -> xor(bucket, CAST(1 AS BIGINT) << j)))) AS probe
+  FROM e
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cosine_sql('a.v', 'b.v')} AS cosine
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM p a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
 """
 

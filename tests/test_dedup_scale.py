@@ -107,3 +107,142 @@ def test_ngram_jaccard_verified_values_are_exact(spark):
     }
     for pair, j in got.items():
         assert pair in exact and exact[pair] == j
+
+
+# --- measured-recall harness (VERDICT r2 items 1-2) ---------------------------
+#
+# The hash-gated oracles replicate the engine's own bucketing, so they cannot
+# see recall losses. These tests measure recall against brute-force ground
+# truth and assert the documented contract numerically.
+
+import numpy as np
+
+from icrawler_spark.queries.simsearch import (
+    _N_PLANES,
+    _lsh_bucket,
+    cosine_dup_pairs_from_vectors,
+)
+
+
+def _planes_np():
+    """NumPy twin of the deterministic LCG hyperplanes in ``_lsh_bucket``."""
+    k = np.arange(_N_PLANES * 64).reshape(_N_PLANES, 64)
+    return ((1103515245 * k + 12345) % (1 << 31)) / float(1 << 31) - 0.5
+
+
+def _bucket_np(v, P):
+    return int(sum((1 << j) for j in range(_N_PLANES) if P[j] @ v > 0))
+
+
+def _with_buckets(spark, rows):
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    return e.withColumn("bucket", _lsh_bucket(F.col("v")))
+
+
+def test_cosine_multi_probe_finds_one_bit_flip_pair(spark):
+    """A cosine ≥ 0.99 pair whose 8-bit buckets differ in EXACTLY one bit:
+    invisible to the exact-bucket equi-join (the r2 recall hole, measured
+    0.69), found by the 1-bit-flip multi-probe."""
+    P = _planes_np()
+    rng = np.random.RandomState(7)
+    planted = None
+    for _ in range(200):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        d = P @ v
+        j = int(np.argmin(np.abs(d)))
+        n = P[j]
+        w = v - 2.0001 * d[j] * n / (n @ n)  # reflect across the closest plane
+        b1, b2 = _bucket_np(v, P), _bucket_np(w, P)
+        cos = v @ w / (np.linalg.norm(v) * np.linalg.norm(w))
+        if bin(b1 ^ b2).count("1") == 1 and cos >= 0.995:
+            planted = (v, w, b1, b2)
+            break
+    assert planted is not None
+    v, w, b1, b2 = planted
+    e = _with_buckets(spark, [(0, v.tolist()), (1, w.tolist())])
+    # the numpy plane twin must agree with the engine's bucket function
+    got_buckets = {r.vec_id: r.bucket for r in e.collect()}
+    assert got_buckets == {0: b1, 1: b2}
+    pairs = cosine_dup_pairs_from_vectors(e).collect()
+    assert [(r.vec_a, r.vec_b) for r in pairs] == [(0, 1)]
+
+
+def test_cosine_dup_measured_recall_vs_brute_force(spark):
+    """300 planted pairs at cosine ∈ [0.9905, 0.9995]: multi-probe recall
+    must be ≥ 0.95 vs brute-force ground truth (the analytic bound is
+    p⁸ + 8p⁷(1−p) ≈ 0.95 at the 0.99 threshold itself), and every emitted
+    pair must be a true pair (exact-cosine verify ⇒ perfect precision)."""
+    rng = np.random.RandomState(42)
+    rows, truth = [], set()
+    vid = 0
+    for _ in range(300):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        g = rng.randn(64)
+        g -= (g @ v) * v
+        g /= np.linalg.norm(g)
+        c = 0.9905 + 0.009 * rng.rand()
+        w = c * v + np.sqrt(1 - c * c) * g  # exact cosine(v, w) = c
+        rows.append((vid, v.tolist()))
+        rows.append((vid + 1, w.tolist()))
+        truth.add((vid, vid + 1))
+        vid += 2
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_dup_pairs_from_vectors(_with_buckets(spark, rows)).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"measured recall {recall:.3f} < 0.95"
+    # precision: anything extra must still be a true cosine ≥ 0.99 pair
+    vecs = dict(rows)
+    for a, b in got - truth:
+        va, vb = np.array(vecs[a]), np.array(vecs[b])
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.99 - 1e-9
+
+
+def _exact_jaccard_pairs(spark):
+    from icrawler_spark.queries.common import load
+    from icrawler_spark.queries.textops import _shingles
+
+    sh = load(spark, SF_DIR, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
+    union = (F.size("a.sh") + F.size("b.sh")).cast("long") - inter
+    return {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+
+
+def test_ngram_jaccard_measured_recall(spark):
+    """LSH-candidate recall vs brute-force J ≥ 0.8 ground truth on sf0.001
+    must meet the documented band contract (≥ 0.92; measured 1.0 — every
+    planted near-dup found). Catches any future band/perm regression the
+    oracle hash-gate cannot see."""
+    exact = _exact_jaccard_pairs(spark)
+    assert exact, "sf0.001 documents contain planted near-dups"
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_DIR).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.92, f"measured recall {recall:.3f} < documented 0.92"
+
+
+def test_minhash_lsh_measured_recall(spark):
+    """Every true J ≥ 0.8 pair must surface in minhash_lsh_pairs (band hit
+    prob ≥ 0.92 at the J=0.8 threshold; measured 1.0 on sf0.001)."""
+    from icrawler_spark.queries.textops import minhash_lsh_pairs
+
+    exact = _exact_jaccard_pairs(spark)
+    assert exact
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_DIR).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.92, f"measured recall {recall:.3f} < documented 0.92"

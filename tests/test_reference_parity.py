@@ -161,6 +161,30 @@ def test_serial_conflicts_in_one_batch_match_sequential_reference(spark):
     assert (serials["X"], serials["Y"], serials["Z"], serials["W"]) == (10, 11, 12, 13)
 
 
+def test_literal_serial_equal_to_batch_assigned_is_reassigned(spark):
+    """ref serial_in_use (state.py:110-118) counts serials the walk just
+    ASSIGNED, not only pre-existing/literal ones: batch [(A, None), (B, 1)]
+    on empty state must yield A=1, B=2 — a closed-form window that tests
+    only static conflicts emits the duplicate (A=1, B=1)."""
+    events = [
+        {"serial": None, "title": "A", "remark": "", "documents": [("pdf", "http://x/aa.pdf", "aa")]},
+        {"serial": 1, "title": "B", "remark": "", "documents": [("pdf", "http://x/bb.pdf", "bb")]},
+        # and one more round of the same shape on non-empty state: C takes 3,
+        # D's literal 3 now collides with C's assignment → 4
+        {"serial": None, "title": "C", "remark": "", "documents": [("pdf", "http://x/cc.pdf", "cc")]},
+        {"serial": 3, "title": "D", "remark": "", "documents": [("pdf", "http://x/dd.pdf", "dd")]},
+    ]
+    ref = _ref_apply(events)
+    entries, documents = _spark_apply(spark, [events[:2], events[2:]])
+    got, want = _spark_state_snapshot(entries, documents), _ref_state_snapshot(ref)
+    assert got == want
+    serials = {title: s for s, title, _d in want.values()}
+    assert (serials["A"], serials["B"], serials["C"], serials["D"]) == (1, 2, 3, 4)
+    # serial uniqueness invariant (find_entry / policy_payload key on it)
+    all_serials = [s for s, _t, _d in got.values()]
+    assert len(all_serials) == len(set(all_serials))
+
+
 def test_mark_downloaded_upsert_parity(spark):
     """downloaded only upgrades; empty title/path never overwrite (ref
     state.py:164-228 file-record semantics)."""

@@ -1,9 +1,12 @@
-"""Inert bs4/requests stubs so the reference package imports in this sandbox.
+"""Dependency shims so the reference package imports AND its parsers run.
 
-The reference's crawler/parser modules import bs4 and requests at module
-scope; the code paths the parity tests exercise (PBCState dict logic,
-policy_finder pure scoring, export_titles planning) never call into them.
-Every stub raises on use, so an accidental dependency fails loudly.
+bs4 is mapped to ``icrawler_spark.parsers.bs4compat`` — a working
+BeautifulSoup facade over the repo's stdlib DOM — so the reference's actual
+parser modules (parser.py, parser_tiaofasi.py) execute in-process and parity
+tests can compare their output entry-for-entry against our parse UDFs.
+requests/fastapi/uvicorn stay inert stubs (network/serving never runs in
+parity tests); every inert stub raises on use so an accidental dependency
+fails loudly.
 """
 
 from __future__ import annotations
@@ -26,13 +29,15 @@ class _StubClass:
 
 def install_reference_stubs() -> None:
     if "bs4" not in sys.modules:
+        from icrawler_spark.parsers import bs4compat
+
         bs4 = types.ModuleType("bs4")
-        bs4.BeautifulSoup = _StubClass
-        bs4.NavigableString = _StubClass
-        bs4.Tag = _StubClass
+        bs4.BeautifulSoup = bs4compat.BeautifulSoup
+        bs4.NavigableString = bs4compat.NavigableString
+        bs4.Tag = bs4compat.Tag
         element = types.ModuleType("bs4.element")
-        element.NavigableString = _StubClass
-        element.Tag = _StubClass
+        element.NavigableString = bs4compat.NavigableString
+        element.Tag = bs4compat.Tag
         bs4.element = element
         sys.modules["bs4"] = bs4
         sys.modules["bs4.element"] = element

@@ -182,6 +182,7 @@ class CrawlEngine:
         self._n_pending = 0
         self._bloom: bloom_mod.BloomFilter | None = None
         self._bloom_bc = None  # this round's broadcast; destroyed next round
+        self._last_big_round = False  # routing taken by the latest round (tests)
 
     # -- state plumbing --------------------------------------------------------
 
@@ -414,8 +415,14 @@ class CrawlEngine:
         )
 
         obs_visited = Observation(f"visited_r{rnd}")
+        # status join on DISTINCT fetched urls: a multi-snapshot corpus
+        # (several warc_ts rows per url) would otherwise fan out batch rows —
+        # duplicate visited rows, inflated n_batch/n_fetched, negative
+        # n_deferred. distinct() here shuffles url strings only, never html.
         batch_visited = batch.join(
-            fetched.select("url", F.lit("fetched").alias("_st")), "url", "left"
+            fetched.select("url").distinct().withColumn("_st", F.lit("fetched")),
+            "url",
+            "left",
         ).select(
             "task",
             "url",
@@ -434,7 +441,7 @@ class CrawlEngine:
         self.visited = self._union_visited()
         n_batch = _obs_long(obs_visited, "n_batch", batch.count)
         n_fetched = _obs_long(
-            obs_visited, "n_fetched", lambda: fetched.select("url").count()
+            obs_visited, "n_fetched", lambda: fetched.select("url").distinct().count()
         )
         n_missing = n_batch - n_fetched
         n_deferred = n_pending_before - n_batch
@@ -455,20 +462,17 @@ class CrawlEngine:
             F.col("discovery_pos").alias("parent_pos"),
             "link_pos",
         ).observe(obs_links, F.count(F.lit(1)).alias("n_links"))
-        # persist is lazy: the bloom split + dedup branch the plan, so the
-        # parse output must be cached either way
-        links = links.persist()
-        # the link count only materializes with the pending pin, so the
-        # big-round decision uses this round's (known) fetch count times the
-        # previous round's observed fanout
-        prev = self.metrics[-1] if self.metrics else None
-        fanout = (
-            prev.links_discovered / max(prev.pages_fetched, 1)
-            if prev is not None and prev.links_discovered > 0
-            else 4.0
-        )
-        big_round = n_fetched * max(fanout, 1.0) > cfg.big_round_threshold
-        _mark("parse(plan)")
+        # eager pin: the bloom split + dedup branch the plan, so the parse
+        # output must be cached either way — checkpointing it NOW also fires
+        # obs_links, making the big-round routing decision exact (the r2
+        # design estimated this round's links as n_fetched × last round's
+        # fanout; a fanout explosion — e.g. default-estimate round 0 — could
+        # push a multi-million-link sort through one partition)
+        links = links.localCheckpoint(eager=True)
+        n_links = _obs_long(obs_links, "n_links", links.count)
+        big_round = n_links > cfg.big_round_threshold
+        self._last_big_round = big_round
+        _mark("parse+pin_links")
 
         wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
         new_links = (
@@ -595,8 +599,7 @@ class CrawlEngine:
         self.seen = self._pin(self.seen, rnd, "seen")
 
         # deep observations (fired by the pins); cached-input fallbacks cover
-        # AQE-pruned end-of-crawl rounds
-        n_links = _obs_long(obs_links, "n_links", links.count)
+        # AQE-pruned end-of-crawl rounds (n_links was read at the links pin)
         if obs_entries is not None:
             n_entries = _obs_long(obs_entries, "n", with_ids.count)
         if obs_docs is not None:

@@ -229,3 +229,62 @@ def test_per_partition_lineage_checkpointed(spark, site, pages, tmp_path):
     assert {c for c in lineage.columns} == {"shard", "n_urls", "n_hosts", "round"}
     assert sum(r.n_urls for r in rows) == 1  # round 0 fetched the seed
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_high_fanout_round0_routes_distributed(spark):
+    """Big-round routing must use the OBSERVED link count, not last round's
+    fanout estimate: a round-0 fanout explosion (many links from few pages,
+    no previous round to estimate from) used to plan the single-partition
+    global window (the r2 stall risk). links_per_page=12 on 20 seeds →
+    ~240 candidate links > threshold 200, while the old estimate
+    (n_fetched × default fanout 4.0 = 80) stays under it."""
+    from icrawler_spark.crawl import synthetic_pages_df, synthetic_seed_df
+
+    pages = synthetic_pages_df(spark, n_pages=400, n_hosts=37, links_per_page=12)
+    seeds_df = synthetic_seed_df(spark, n_pages=400, stride=20, n_hosts=37)
+    eng = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            start_url="https://hot.example.test/p/0.html",
+            max_rounds=1,
+            parse_entries=False,
+            big_round_threshold=200,
+        ),
+        seeds_df=seeds_df,
+    )
+    m = eng.run()
+    assert m[0].links_discovered > 200
+    assert eng._last_big_round is True
+    # distributed positions must still be dense and FIFO-unique
+    pend = eng.pending.select("discovery_pos").collect()
+    got = sorted(r.discovery_pos for r in pend)
+    assert got == list(range(got[0], got[0] + len(got)))
+
+
+def test_multi_snapshot_corpus_does_not_fan_out_metrics(spark, site, pages):
+    """A corpus carrying several (url, warc_ts) snapshot rows per url must
+    produce the same round metrics, visited rows, and crawl order as the
+    single-snapshot corpus — the fetch-join fanout previously inflated
+    n_batch/n_fetched (negative n_deferred) and duplicated visited rows."""
+    from pyspark.sql import functions as F
+
+    single = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    single.run()
+
+    doubled = pages.unionByName(
+        pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 SECOND"))
+    )
+    multi = CrawlEngine(spark, doubled, CrawlConfig(start_url=START, max_rounds=20))
+    multi.run()
+
+    assert multi.crawl_order() == single.crawl_order()
+    assert multi.seen_urls() == single.seen_urls()
+    for ms, mm in zip(single.metrics, multi.metrics):
+        assert (mm.pages_fetched, mm.pages_missing, mm.links_new) == (
+            ms.pages_fetched,
+            ms.pages_missing,
+            ms.links_new,
+        )
+    vis = multi.visited.select("url").collect()
+    assert len(vis) == len({r.url for r in vis})  # no duplicate visited rows

@@ -224,42 +224,85 @@ WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
 """
 
 
-def label_centroids(spark, sf_dir):
-    """Exact deterministic centroids: per label, vectors are collected
-    sorted by vec_id and folded sequentially per dimension — aggregation
-    order is pinned, so the resulting doubles are engine-identical.
-    (At extreme scale swap for two-level tree aggregation with fixed fan-in;
-    here the per-label group fits comfortably.) Output exploded to
-    (label, dim, value) rows."""
-    e = load(spark, sf_dir, "embeddings")
-    grouped = (
-        e.groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("vec_id", _vec().alias("v")))).alias("vs"),
-            F.count(F.lit(1)).alias("n"),
-        )
+_CENTROID_CHUNK = 4096  # ids per level-1 fold chunk
+
+
+def label_centroids_from_vectors(e, chunk: int = _CENTROID_CHUNK):
+    """Exact deterministic centroids via a TWO-LEVEL fixed-fan-in fold.
+
+    Level 1 folds each ``(label, vec_id // chunk)`` group sequentially in
+    vec_id order; level 2 folds the chunk partial sums in chunk order. The
+    chunk key comes from the vec_id DOMAIN — no per-label window, no
+    requirement that one label's vectors colocate: level-1 buffers hold at
+    most ``chunk`` vectors, and a label owning 90% of a 10^10-row table
+    aggregates through ~10^10/4096 bounded partials instead of one
+    executor-killing group (VERDICT r2 item 9). The fold order is pinned on
+    both levels, so results are deterministic and engine-identical; a label
+    that fits one chunk degenerates to ``0.0 + flat_fold`` — bit-identical
+    to the single-level fold it replaces.
+
+    e: (label, vec_id, v array<double>) rows."""
+    chunked = e.withColumn("_ck", (F.col("vec_id") / chunk).cast("long"))
+    lvl1 = chunked.groupBy("label", "_ck").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", F.col("v")))).alias("vs"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    psum = F.transform(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        lambda i: F.aggregate(
+            F.col("vs"), F.lit(0.0), lambda s, x: s + F.element_at(x["v"], i.cast("int"))
+        ),
+    )
+    lvl2 = lvl1.select("label", "_ck", "cn", psum.alias("psum")).groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("_ck", F.col("psum")))).alias("chunks"),
+        F.sum("cn").cast("long").alias("n"),
     )
     centroid = F.transform(
         F.sequence(F.lit(1), F.lit(_DIM)),
         lambda i: F.aggregate(
-            F.col("vs"), F.lit(0.0), lambda s, x: s + F.element_at(x["v"], i.cast("int"))
+            F.col("chunks"),
+            F.lit(0.0),
+            lambda s, c: s + F.element_at(c["psum"], i.cast("int")),
         )
         / F.col("n"),
     )
     return (
-        grouped.select("label", "n", F.posexplode(centroid).alias("dim0", "value"))
+        lvl2.select("label", "n", F.posexplode(centroid).alias("dim0", "value"))
         .select("label", "n", (F.col("dim0") + 1).cast("long").alias("dim"), "value")
     )
 
 
-LABEL_CENTROIDS_SQL = f"""
-WITH g AS (
-  SELECT label, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
-  FROM (SELECT label, vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
-  GROUP BY label
-)
-SELECT label, n, i AS dim,
-       list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y) / n AS value
+def label_centroids(spark, sf_dir):
+    """(label, dim, value) exact centroids — see
+    ``label_centroids_from_vectors`` for the two-level fold contract."""
+    e = load(spark, sf_dir, "embeddings").select("label", "vec_id", _vec().alias("v"))
+    return label_centroids_from_vectors(e)
+
+
+_CENTROID_SQL_TEMPLATE = f"""
+  WITH ranked AS (
+    SELECT label, vec_id, vec_id // {_CENTROID_CHUNK} AS ck,
+           {_VEC_SQL.format(c='embedding')} AS v
+    FROM embeddings
+  ),
+  l1 AS (
+    SELECT label, ck, cn,
+           list_transform(range(1, {_DIM + 1}), i ->
+             list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y)) AS psum
+    FROM (SELECT label, ck, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cn
+          FROM ranked GROUP BY label, ck)
+  ),
+  g AS (
+    SELECT label, CAST(cn AS BIGINT) AS n,
+           list_transform(range(1, {_DIM + 1}), i ->
+             list_reduce(list_prepend(0.0, list_transform(ps, p -> p[i])), (s, y) -> s + y)) AS tot
+    FROM (SELECT label, list(psum ORDER BY ck) AS ps, SUM(cn) AS cn FROM l1 GROUP BY label)
+  )
+"""
+
+
+LABEL_CENTROIDS_SQL = f"""{_CENTROID_SQL_TEMPLATE}
+SELECT label, n, i AS dim, tot[i] / n AS value
 FROM g, (SELECT unnest(range(1, {_DIM + 1})) AS i)
 """
 
@@ -302,16 +345,10 @@ def ivf_assign(spark, sf_dir):
     )
 
 
-IVF_ASSIGN_SQL = f"""
-WITH g AS (
-  SELECT label, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
-  FROM (SELECT label, vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)
-  GROUP BY label
-),
+IVF_ASSIGN_SQL = f"""{_CENTROID_SQL_TEMPLATE},
 cent AS (
   SELECT label AS c_label,
-         list_transform(range(1, {_DIM + 1}), i ->
-           list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y) / n) AS cvec
+         list_transform(range(1, {_DIM + 1}), i -> tot[i] / n) AS cvec
   FROM g
 ),
 pairs AS (

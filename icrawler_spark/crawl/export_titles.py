@@ -9,11 +9,12 @@ state-iteration order.
 
 Plan shape: one join (documents ⋈ entries), a pandas-UDF sanitize, and one
 window per (basename, extension) group for the collision suffix — the same
-window the oracle-checked ``collision_suffixes`` query pins. Known edge vs
-the reference's sequential ``while`` loop: a literal filename that equals a
-*generated* suffix (you name a file ``a_1.pdf`` while ``a.pdf`` collides
-twice) resolves differently; the reference's own tests don't reach that
-case and the suffix-domain collision is content-addressable if it matters.
+window the oracle-checked ``collision_suffixes`` query pins. The executable
+path (``copy_documents_by_title``) replays the reference's sequential
+``_unique_filename`` walk over the ordered plan rows, so destination-dir
+collisions and the ``a_1.pdf`` suffix-domain edge resolve exactly as the
+reference; only the pure-DataFrame ``destination_name`` preview keeps the
+window approximation (identical on an empty destination).
 
 The copy itself is a driver loop over the plan for local filesystems; on a
 cluster the plan DataFrame feeds a distributed copy (foreachPartition with
@@ -63,14 +64,18 @@ def export_titles_plan(entries: DataFrame, documents: DataFrame, seen: DataFrame
     ent = entries.select("entry_id", F.col("title").alias("_entry_title"), "serial")
     joined = docs.join(dl, "url").join(F.broadcast(ent), "entry_id", "left")
 
-    stem = F.regexp_extract(
-        F.element_at(F.split(F.col("local_path"), "/"), -1), r"^([^.]*)", 1
-    )
-    # all suffixes, like Path.suffixes joined (state.pdf.bak → .pdf.bak)
+    # Path.stem: strip only the LAST suffix, and a leading-dot-only name
+    # ('.bashrc') keeps itself (ref export_titles.py:84 Path(...).stem)
     fname = F.element_at(F.split(F.col("local_path"), "/"), -1)
+    last_stem = F.regexp_extract(fname, r"^(.+)\.[^.]+$", 1)
+    stem = F.when(last_stem != "", last_stem).otherwise(fname)
+    # ''.join(Path.suffixes): everything after the first dot of the
+    # leading-dot-stripped name (ref :183; '.bashrc' → none, 'a.v2.pdf' →
+    # '.v2.pdf', trailing-dot 'a.' → '.')
+    lstripped = F.expr("trim(LEADING '.' FROM element_at(split(local_path, '/'), -1))")
     ext = F.when(
-        F.col("local_path").isNotNull() & fname.contains("."),
-        F.concat(F.lit("."), F.regexp_extract(fname, r"^[^.]*\.(.*)$", 1)),
+        F.col("local_path").isNotNull() & lstripped.contains("."),
+        F.concat(F.lit("."), F.regexp_extract(lstripped, r"^[^.]*\.(.*)$", 1)),
     ).otherwise(F.lit(""))
 
     def nonblank(c):
@@ -98,8 +103,14 @@ def export_titles_plan(entries: DataFrame, documents: DataFrame, seen: DataFrame
         ]
     )
     plan = plan.withColumn("_base", sanitized)
+    # the reference iterates state.entries in INSERTION order, then each
+    # entry's documents in list order (ref _iter_documents:46-64) — NOT by
+    # serial. Entry insertion order = the entry's first document position.
+    w_entry = Window.partitionBy("entry_id")
+    plan = plan.withColumn("_entry_pos", F.min("_pos").over(w_entry))
+    iter_order = [F.asc("_entry_pos"), F.asc("_pos"), F.asc("url")]
     # all-candidates-failed rows: document_{counter} in iteration order
-    w_unnamed = Window.orderBy(F.col("serial").asc_nulls_last(), "_pos", "url")
+    w_unnamed = Window.orderBy(*iter_order)
     plan = plan.withColumn(
         "_base",
         F.coalesce(
@@ -114,9 +125,7 @@ def export_titles_plan(entries: DataFrame, documents: DataFrame, seen: DataFrame
     )
     # collision suffixes: first keeps the bare name, later ones get _N —
     # same semantics as the oracle-checked collision_suffixes query
-    w_coll = Window.partitionBy("_base", "_ext").orderBy(
-        F.col("serial").asc_nulls_last(), "_pos", "url"
-    )
+    w_coll = Window.partitionBy("_base", "_ext").orderBy(*iter_order)
     plan = plan.withColumn("_k", F.row_number().over(w_coll) - 1)
     dest = F.when(F.col("_k") == 0, F.concat("_base", "_ext")).otherwise(
         F.concat("_base", F.lit("_"), F.col("_k").cast("string"), "_ext")
@@ -124,9 +133,12 @@ def export_titles_plan(entries: DataFrame, documents: DataFrame, seen: DataFrame
     return plan.select(
         F.col("local_path").alias("source"),
         dest.alias("destination_name"),
+        F.col("_base").alias("base_name"),
+        F.col("_ext").alias("extension"),
         "url",
         "entry_id",
         F.col("serial"),
+        F.col("_entry_pos").alias("entry_pos"),
         F.col("_pos").alias("doc_pos"),
     )
 
@@ -138,9 +150,19 @@ def copy_documents_by_title(
     destination_dir: str,
     *,
     dry_run: bool = False,
+    overwrite: bool = False,
 ) -> tuple[ExportReport, list[tuple[str, str]]]:
     """Execute the plan against a local filesystem (ref 129-199 semantics:
-    count skips for path-less and missing-source documents; copy the rest)."""
+    count skips for path-less and missing-source documents; copy the rest).
+
+    Final name uniquification replays the reference's sequential
+    ``_unique_filename`` walk (ref :111-132) over the ordered plan rows:
+    the collision test covers names used earlier in this export AND files
+    already present in ``destination_dir`` (so a non-empty destination is
+    never silently overwritten), iterating ``base_N.ext`` until free;
+    ``overwrite=True`` takes the bare candidate unconditionally. On an
+    empty destination this equals the plan's window-assigned
+    ``destination_name`` exactly."""
     report = ExportReport()
     # path-less downloaded docs are counted, not planned
     pathless = (
@@ -181,14 +203,24 @@ def copy_documents_by_title(
             documents,
             with_path.where(F.col("local_path").isin(list(existing) or [""])),
         )
-        .orderBy(F.col("serial").asc_nulls_last(), "doc_pos", "url")
+        .orderBy("entry_pos", "doc_pos", "url")
         .collect()
     )
     plans: list[tuple[str, str]] = []
     if not dry_run:
         os.makedirs(destination_dir, exist_ok=True)
+    used_names: set[str] = set()
     for r in plan_rows:
-        dest = os.path.join(destination_dir, r.destination_name)
+        candidate = f"{r.base_name}{r.extension}"
+        if not overwrite:
+            n = 1
+            while candidate in used_names or os.path.exists(
+                os.path.join(destination_dir, candidate)
+            ):
+                candidate = f"{r.base_name}_{n}{r.extension}"
+                n += 1
+        used_names.add(candidate)
+        dest = os.path.join(destination_dir, candidate)
         plans.append((r.source, dest))
         if not dry_run:
             shutil.copy2(r.source, dest)

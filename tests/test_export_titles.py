@@ -113,3 +113,137 @@ def test_copy_by_title_fallback_names(spark, tmp_path):
     )
     ref_report, ref_names = _ref_plan_names(rows, tmp_path)
     assert {d.rsplit("/", 1)[-1] for _s, d in plans} == ref_names
+
+
+def test_multi_dot_and_dotfile_stems_match_reference(spark, tmp_path):
+    """Path.stem/Path.suffixes parity (ADVICE r2): last-dot stem with
+    all-suffixes extension ('report.v2.pdf' → 'report.v2' + '.v2.pdf'),
+    and a dotfile has no extension at all."""
+    downloads = tmp_path / "dl2"
+    downloads.mkdir()
+    f1 = downloads / "report.v2.pdf"
+    f1.write_bytes(b"a")
+    f2 = downloads / ".bashrc"
+    f2.write_bytes(b"b")
+    rows = [
+        (1, "", "http://e.com/a∕b", "", "pdf", str(f1)),   # titles+url unsanitizable? url is usable
+        (2, "", "http://e.com/c∕d", "", "other", str(f2)),
+    ]
+    # blank titles but sanitizable URLs would win before the stem — blank the
+    # url path too is not possible, so force the stem tier by blanking titles
+    # and using URLs whose sanitization is '_' is impractical; instead rely on
+    # ref running the identical candidate cascade side-by-side.
+    ref_report, ref_names = _ref_plan_names(rows, tmp_path)
+    entries, documents, seen = _spark_frames(spark, rows)
+    _report, plans = copy_documents_by_title(
+        entries, documents, seen, str(tmp_path / "o2"), dry_run=True
+    )
+    assert {d.rsplit("/", 1)[-1] for _s, d in plans} == ref_names
+
+
+def test_stem_tier_uses_last_dot_semantics(spark, tmp_path):
+    """When the stem IS the winning candidate (titles blank, url blank-ish),
+    'report.v2.pdf' must export via Path.stem + joined suffixes exactly as
+    the reference does (stem 'report.v2' → sanitized 'report_v2', extension
+    '.v2.pdf' → 'report_v2.v2.pdf')."""
+    downloads = tmp_path / "dl3"
+    downloads.mkdir()
+    f1 = downloads / "report.v2.pdf"
+    f1.write_bytes(b"a")
+    url = "http://e.com/∕"  # sanitizes to '_' → stem tier wins
+    state = PBCState()
+    eid = state.ensure_entry({"serial": 7, "title": "", "remark": ""})
+    state.mark_downloaded(eid, url, "", "pdf", str(f1))
+    state_file = tmp_path / "state3.json"
+    save_state(str(state_file), state)
+    _ref_report, ref_plans = ref_copy(state_file, tmp_path / "r3", dry_run=True)
+    ref_names = {p.destination.name for p in ref_plans}
+    assert ref_names == {"report_v2.v2.pdf"}  # safe_filename maps dots to _
+
+    entries = spark.createDataFrame(
+        [("e", "t", 7, "", "", 0)],
+        "entry_id string, task string, serial int, title string, remark string, _src_pos long",
+    )
+    documents = spark.createDataFrame(
+        [("e", url, "pdf", "", 0)],
+        "entry_id string, url string, doc_type string, title string, _src_pos long",
+    )
+    seen = spark.createDataFrame(
+        [(url, "e", "", "pdf", True, str(f1))],
+        "url string, entry_id string, title string, doc_type string, "
+        "downloaded boolean, local_path string",
+    )
+    _report, plans = copy_documents_by_title(
+        entries, documents, seen, str(tmp_path / "o3"), dry_run=True
+    )
+    assert {d.rsplit("/", 1)[-1] for _s, d in plans} == ref_names
+
+
+def test_nonempty_destination_is_not_overwritten(spark, tmp_path):
+    """ref _unique_filename checks files already in destination_dir
+    (ref :127): exporting into a dir that already holds the target name
+    must suffix, not overwrite — and overwrite=True must take the name."""
+    downloads = tmp_path / "dl4"
+    downloads.mkdir()
+    f1 = downloads / "src.pdf"
+    f1.write_bytes(b"new-content")
+    rows = [(1, "标题", "http://e.com/1.pdf", "标题", "pdf", str(f1))]
+
+    dest = tmp_path / "occupied"
+    dest.mkdir()
+    (dest / "标题.pdf").write_bytes(b"pre-existing")
+
+    # reference behavior on the same pre-populated destination
+    state = PBCState()
+    eid = state.ensure_entry({"serial": 1, "title": "标题", "remark": ""})
+    state.mark_downloaded(eid, "http://e.com/1.pdf", "标题", "pdf", str(f1))
+    state_file = tmp_path / "state4.json"
+    save_state(str(state_file), state)
+    _r, ref_plans = ref_copy(state_file, dest, dry_run=True)
+    assert {p.destination.name for p in ref_plans} == {"标题_1.pdf"}
+
+    entries, documents, seen = _spark_frames(spark, rows)
+    _report, plans = copy_documents_by_title(entries, documents, seen, str(dest))
+    assert {d.rsplit("/", 1)[-1] for _s, d in plans} == {"标题_1.pdf"}
+    assert (dest / "标题.pdf").read_bytes() == b"pre-existing"
+    assert (dest / "标题_1.pdf").read_bytes() == b"new-content"
+
+    # overwrite=True takes the bare name (ref :121-123)
+    _report2, plans2 = copy_documents_by_title(
+        entries, documents, seen, str(dest), overwrite=True
+    )
+    assert {d.rsplit("/", 1)[-1] for _s, d in plans2} == {"标题.pdf"}
+    assert (dest / "标题.pdf").read_bytes() == b"new-content"
+
+
+def test_collision_order_follows_insertion_not_serial(spark, tmp_path):
+    """ref iterates entries in insertion order; a later-inserted entry with a
+    SMALLER serial must get the _1 suffix (ADVICE r2 window-order item)."""
+    downloads = tmp_path / "dl5"
+    downloads.mkdir()
+    fa = downloads / "a.pdf"
+    fa.write_bytes(b"a")
+    fb = downloads / "b.pdf"
+    fb.write_bytes(b"b")
+    # inserted first with serial 9, second with serial 2 — same title
+    rows = [
+        (9, "同名", "http://e.com/first.pdf", "同名", "pdf", str(fa)),
+        (2, "同名", "http://e.com/second.pdf", "同名", "pdf", str(fb)),
+    ]
+    ref_report, ref_names = _ref_plan_names(rows, tmp_path)
+    state = PBCState()
+    for serial, etitle, url, dtitle, dtype, path in rows:
+        eid = state.ensure_entry({"serial": serial, "title": etitle, "remark": ""})
+        state.mark_downloaded(eid, url, dtitle, dtype, path)
+    state_file = tmp_path / "state5.json"
+    save_state(str(state_file), state)
+    _r, ref_plans = ref_copy(state_file, tmp_path / "r5", dry_run=True)
+    by_source = {p.source.name: p.destination.name for p in ref_plans}
+    assert by_source == {"a.pdf": "同名.pdf", "b.pdf": "同名_1.pdf"}
+
+    entries, documents, seen = _spark_frames(spark, rows)
+    _report, plans = copy_documents_by_title(
+        entries, documents, seen, str(tmp_path / "o5"), dry_run=True
+    )
+    got = {s.rsplit("/", 1)[-1]: d.rsplit("/", 1)[-1] for s, d in plans}
+    assert got == by_source

@@ -181,3 +181,74 @@ def test_title_catalog_match_tiers(spark):
     assert by_qid[2] == [("e2", "partial")]
     assert by_qid[3] == [("e2", "fuzzy")]
     assert 4 not in by_qid
+
+
+def test_tier3_fuzzy_recall_vs_exhaustive_difflib(spark):
+    """Measured-recall gate for the tier-3 LSH family (ADVICE r2): on a
+    seeded catalog of 160 template titles with 120 edit-perturbed queries,
+    tier-3 candidates + difflib verify must find ≥ 95% of the matches the
+    reference's exhaustive get_close_matches walk would return, and the
+    picked best title must agree on ≥ 95%."""
+    import random
+    from difflib import SequenceMatcher
+
+    import icrawler_spark.search.catalog as cat
+    from icrawler_spark.functions import pure
+
+    rng = random.Random(17)
+    stems = ["中国人民银行", "国务院", "证监会", "银保监会", "财政部"]
+    kinds = ["管理办法", "实施细则", "监督规定", "指导意见", "通知"]
+    topics = ["支付结算", "反洗钱", "外汇管理", "金融稳定", "信贷资产",
+              "存款保险", "征信业务", "债券交易"]
+    titles = list(dict.fromkeys(
+        f"{rng.choice(stems)}关于{rng.choice(topics)}{rng.choice(kinds)}"
+        f"〔20{rng.randint(10, 25)}〕第{i}号"
+        for i in range(160)
+    ))
+    catalog_rows = [(f"e{i}", pure.norm_text(t)) for i, t in enumerate(titles)]
+
+    def perturb(t):
+        t = list(t)
+        for _ in range(rng.randint(2, 6)):
+            i = rng.randrange(len(t))
+            k = rng.random()
+            if k < 0.4 and len(t) > 8:
+                del t[i]
+            elif k < 0.7:
+                t[i] = rng.choice("的与和及等关于对在")
+            else:
+                t.insert(i, rng.choice("的与和及"))
+        return "".join(t)
+
+    queries = [(f"q{i}", perturb(t)) for i, t in enumerate(titles[:120])]
+
+    nt_list = [nt for _e, nt in catalog_rows]
+
+    def best_exhaustive(qn):
+        best, bt = 0.0, None
+        for nt in nt_list:
+            r = SequenceMatcher(None, qn, nt).ratio()
+            if r > best:
+                best, bt = r, nt
+        return best, bt
+
+    truth = {}
+    for qid, q in queries:
+        b, bt = best_exhaustive(pure.norm_text(q))
+        if b >= 0.75:
+            truth[qid] = bt
+    assert len(truth) >= 100  # the perturbation keeps most queries matchable
+
+    qdf = spark.createDataFrame(queries, "qid string, title string")
+    cdf = spark.createDataFrame(catalog_rows, "entry_id string, norm_title string")
+    res = cat.match_titles(qdf, cdf).collect()
+    fuzzy = {r.qid: r.entry_id for r in res if r.tier == "fuzzy"}
+    upper = {r.qid for r in res if r.tier != "fuzzy"}
+    nt_by_eid = dict(catalog_rows)
+    found = sum(1 for qid in truth if qid in upper or qid in fuzzy)
+    agree = sum(
+        1 for qid, bt in truth.items()
+        if qid in upper or (qid in fuzzy and nt_by_eid[fuzzy[qid]] == bt)
+    )
+    assert found / len(truth) >= 0.95, f"recall {found / len(truth):.3f}"
+    assert agree / len(truth) >= 0.95, f"best-match agreement {agree / len(truth):.3f}"

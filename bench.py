@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "quality_score",            # per-doc quality
     "lsh_buckets",              # ANN index build
     "knn_brute_force",          # ANN query baseline
+    "cosine_dup_pairs",         # multi-probe LSH near-dup (r3)
+    "dup_clusters",             # connected-components consolidation (r3)
 ]
 
 

@@ -41,6 +41,23 @@ def main() -> None:
         action="store_true",
         help="seed via synthetic_seed_df (executor-built) instead of a driver list",
     )
+    ap.add_argument(
+        "--bucketed-pages",
+        type=int,
+        default=0,
+        metavar="N",
+        help="write the corpus as a parquet table bucketed by url into N "
+        "buckets and crawl from the table read: the fetch join's pages side "
+        "scans bucketed files with NO per-round Exchange (the Iceberg "
+        "url-bucketed layout of the north rule; only the batch shuffles)",
+    )
+    ap.add_argument(
+        "--prime",
+        action="store_true",
+        help="run a small untimed crawl first so JIT/codegen/arrow warm-up "
+        "does not land in round 0 of the timed window (VERDICT r2 item 6: "
+        "the three-level round-0 identity showed warm-up dominating)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -65,8 +82,21 @@ def main() -> None:
         links_per_page=args.links_per_page,
         filler_paragraphs=args.filler_paragraphs,
     )
-    pages = pages.repartition(args.cpus * 2).persist(StorageLevel.MEMORY_AND_DISK)
-    pages.count()  # materialize outside the timed window
+    if args.bucketed_pages:
+        # one-time bucketed layout (outside the timed window), as Iceberg
+        # write-distribution would maintain it on a real cluster; per-round
+        # fetch joins then read pre-bucketed files — no corpus Exchange
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+        (
+            pages.write.bucketBy(args.bucketed_pages, "url")
+            .sortBy("url")
+            .mode("overwrite")
+            .saveAsTable("pages_bucketed")
+        )
+        pages = spark.table("pages_bucketed")
+    else:
+        pages = pages.repartition(args.cpus * 2).persist(StorageLevel.MEMORY_AND_DISK)
+        pages.count()  # materialize outside the timed window
 
     start = "https://hot.example.test/p/0.html"
     seeds_df = None
@@ -90,6 +120,20 @@ def main() -> None:
         n_host_shards=max(args.cpus, 8),
         fast_metrics=True,
     )
+    if args.prime:
+        prime_pages = synthetic_pages_df(spark, n_pages=5000, n_hosts=53)
+        prime_cfg = CrawlConfig(
+            start_url="https://hot.example.test/p/0.html",
+            seed_urls=[f"https://hot.example.test/p/{i}.html" for i in range(0, 5000, 5)],
+            max_rounds=2,
+            parse_entries=False,
+            use_bloom=True,
+            bloom_capacity=5000,
+            n_host_shards=max(args.cpus, 8),
+            fast_metrics=True,
+        )
+        CrawlEngine(spark, prime_pages, prime_cfg).run()
+
     eng = CrawlEngine(spark, pages, cfg, seeds_df=seeds_df)
     t0 = time.time()
     metrics = eng.run()
@@ -113,6 +157,7 @@ def main() -> None:
             {
                 "cpus": args.cpus,
                 "pages": n_pages,
+                "bucketed_pages": args.bucketed_pages,
                 "rounds": len(metrics),
                 "pages_fetched": fetched,
                 "wall_s": round(wall, 2),

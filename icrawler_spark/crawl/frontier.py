@@ -105,36 +105,31 @@ class RoundMetrics:
 
 
 def _obs_long(obs: Observation, key: str, fallback) -> int:
-    """Observation metric with a count() fallback.
+    """Observation metric with a count() fallback — never blocks.
 
     AQE's empty-relation propagation can prune a *deep* CollectMetrics node
     when an intermediate join result turns out empty at runtime — the
-    observation then completes with an empty, schema-less row (and pyspark's
-    ``Observation.get`` raises converting it). Top-level observations on the
-    pinned DataFrames are safe; for the deep ones this falls back to a count
-    on an already-cached input. The fallback only fires on pruned (i.e.
-    drained/empty) rounds, so it stays off the steady-state hot path.
+    observation then either never completes or completes with an empty,
+    schema-less row (pyspark's blocking ``Observation.get`` would hang on
+    the former and raise converting the latter). By construction the
+    observed node's action has already run when this is called, so read the
+    JVM side's NON-blocking ``getRowOrEmpty``: metric present → use it
+    (steady-state hot path); empty/raising (pruned, i.e. drained rounds
+    only) → immediate count() on an already-cached input. This replaced a
+    bounded 60 s daemon-thread wait — a silent per-observation stall at
+    1000-round scale."""
+    try:
+        opt = obs._jo.getRowOrEmpty()  # noqa: SLF001 — same accessors Observation.get uses
+        if opt.isDefined():
+            from pyspark.serializers import CPickleSerializer
 
-    ``Observation.get`` blocks until the observed node's first action —
-    which by construction has already run when this is called — but as a
-    guard against a node Spark optimized away entirely, the wait is bounded
-    (daemon thread) before falling back."""
-    import threading
-
-    box: dict = {}
-
-    def _read() -> None:
-        try:
-            box["m"] = obs.get
-        except Exception as e:  # empty schema-less row from a pruned node
-            box["e"] = e
-
-    t = threading.Thread(target=_read, daemon=True)
-    t.start()
-    t.join(timeout=60.0)
-    m = box.get("m")
-    if m is not None and key in m:
-        return int(m[key] or 0)
+            utils = getattr(obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+            row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+            m = row.asDict(recursive=False)
+            if key in m:
+                return int(m[key] or 0)
+    except Exception:  # empty schema-less row, or connect-mode without _jo
+        pass
     return int(fallback())
 
 

@@ -9,12 +9,14 @@ every round so a killed job resumes deterministically.
 """
 
 from .frontier import CrawlEngine, CrawlConfig
+from .sources import latest_snapshot_view
 from .synthetic import build_site, site_pages_df, synthetic_pages_df, synthetic_seed_df
 
 __all__ = [
     "CrawlEngine",
     "CrawlConfig",
     "build_site",
+    "latest_snapshot_view",
     "site_pages_df",
     "synthetic_pages_df",
     "synthetic_seed_df",

@@ -71,11 +71,15 @@ def export_titles_plan(entries: DataFrame, documents: DataFrame, seen: DataFrame
     stem = F.when(last_stem != "", last_stem).otherwise(fname)
     # ''.join(Path.suffixes): everything after the first dot of the
     # leading-dot-stripped name (ref :183; '.bashrc' → none, 'a.v2.pdf' →
-    # '.v2.pdf', trailing-dot 'a.' → '.')
+    # '.v2.pdf', 'a..b' → '..b'); a name ENDING in '.' has no suffixes at
+    # all on py3.11 (PurePath('a.b.').suffixes == []), verified empirically
     lstripped = F.expr("trim(LEADING '.' FROM element_at(split(local_path, '/'), -1))")
+    ext_body = F.regexp_extract(lstripped, r"^[^.]*\.(.+)$", 1)
     ext = F.when(
-        F.col("local_path").isNotNull() & lstripped.contains("."),
-        F.concat(F.lit("."), F.regexp_extract(lstripped, r"^[^.]*\.(.*)$", 1)),
+        F.col("local_path").isNotNull()
+        & (ext_body != "")
+        & ~lstripped.endswith("."),
+        F.concat(F.lit("."), ext_body),
     ).otherwise(F.lit(""))
 
     def nonblank(c):

@@ -446,8 +446,15 @@ class CrawlEngine:
         # append order (parent pos, link pos)
         page_inputs = fetched.withColumn("start_url", F.lit(cfg.scope_url))
         obs_links = Observation(f"links_r{rnd}")
+        # the join-back side is DISTINCT: on a multi-snapshot corpus the
+        # parse already runs once per snapshot (S×); joining against S
+        # fetched rows again would square that. Full S→1 belongs at the
+        # source — read through sources.latest_snapshot_view (Iceberg
+        # time-travel stand-in); the engine stays correct either way
+        # (first-wins link dedup below), paying S× parse work and counting
+        # per-snapshot parses in links_discovered.
         links = udfs.parse_pagination_links(page_inputs).join(
-            fetched.select(F.col("url").alias("page_url"), "depth", "discovery_pos"),
+            fetched.select(F.col("url").alias("page_url"), "depth", "discovery_pos").distinct(),
             "page_url",
         ).select(
             "task",
@@ -519,7 +526,8 @@ class CrawlEngine:
             parsed = udfs.parse_listing_entries(
                 fetched.withColumn("dialect", F.lit(cfg.dialect))
             ).join(
-                fetched.select(F.col("url").alias("page_url"), "discovery_pos"), "page_url"
+                fetched.select(F.col("url").alias("page_url"), "discovery_pos").distinct(),
+                "page_url",
             )
             parsed = parsed.withColumn(
                 "_src_pos",

@@ -63,3 +63,26 @@ def scan_downloads_dir(spark: SparkSession, path: str) -> DataFrame:
         .cast("long")
         .alias("n_html"),
     )
+
+
+def latest_snapshot_view(pages: DataFrame) -> DataFrame:
+    """One row per url — the newest ``warc_ts`` snapshot wins.
+
+    The input_hint pages table carries multiple (url, warc_ts) snapshot
+    rows per url; on Iceberg this view IS time travel / a MERGE-maintained
+    latest table, applied ONCE at read so every round parses each page
+    exactly once. Without it the engine stays CORRECT (per-url distinct
+    status join, first-wins link dedup, entry-id dedup) but pays S× parse
+    work on an S-snapshot corpus and counts per-snapshot parses in
+    links_discovered. Deterministic tie-break on identical warc_ts via the
+    html hash."""
+    from pyspark.sql import Window
+
+    order = [F.desc("warc_ts")] if "warc_ts" in pages.columns else []
+    order.append(F.asc(F.xxhash64(F.col("html"))))
+    w = Window.partitionBy("url").orderBy(*order)
+    return (
+        pages.withColumn("_snap_rn", F.row_number().over(w))
+        .where(F.col("_snap_rn") == 1)
+        .drop("_snap_rn")
+    )

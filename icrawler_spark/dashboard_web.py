@@ -106,6 +106,21 @@ def _sum_file_sizes(directory: str | None) -> int:
     return total
 
 
+def _latest_page_mtime(directory: str | None) -> datetime | None:
+    """Newest cached listing page in the dir (file-level — a re-fetch
+    overwrites in place without changing the directory mtime)."""
+    if not directory or not os.path.isdir(directory):
+        return None
+    latest = None
+    for root, _dirs, files in os.walk(directory):
+        for f in files:
+            if f.lower().endswith((".html", ".htm")):
+                m = _safe_mtime(os.path.join(root, f))
+                if m is not None and (latest is None or m > latest):
+                    latest = m
+    return latest
+
+
 def _count_pages(directory: str | None) -> int:
     if not directory or not os.path.isdir(directory):
         return 0
@@ -167,14 +182,18 @@ def task_overview_payloads(
         )
         .collect()
     }
+    # ref _document_type_counts (:180-188): str(type or 'unknown'), case kept
     type_rows: dict = {}
     for r in (
         seen.join(entry_task, "entry_id")
-        .groupBy("task", F.lower(F.coalesce("doc_type", F.lit("other"))).alias("t"))
+        .groupBy(
+            "task",
+            F.coalesce(F.nullif(F.col("doc_type"), F.lit("")), F.lit("unknown")).alias("t"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     ):
-        type_rows.setdefault(r.task, {})[r.t] = r.n
+        type_rows.setdefault(r.task, {})[r.t or "unknown"] = r.n
 
     if specs:
         task_list = [(s.name, s) for s in specs]
@@ -196,7 +215,11 @@ def task_overview_payloads(
         state_last_updated = _safe_mtime(state_file)
         page_cache_dir = lay.get("page_cache_dir")
         pages_cached = _count_pages(page_cache_dir)
-        cache_mtime = _safe_mtime(page_cache_dir)
+        # ref tracks the start-url listing cache FILE, not the directory
+        # (a re-fetch overwrites the file without touching the dir mtime):
+        # an explicit layout cache_path wins, else the newest cached page
+        cache_path = lay.get("cache_path")
+        cache_mtime = _safe_mtime(cache_path) if cache_path else _latest_page_mtime(page_cache_dir)
         page_cache_fresh = (
             cache_mtime is not None and cache_mtime.date() == now.date()
         ) if page_cache_dir else True
@@ -258,7 +281,12 @@ def entries_payload(overview: dict, entries: DataFrame, documents: DataFrame,
 
     task_entries = entries.where(F.col("task") == overview["name"])
     task_docs = documents.join(task_entries.select("entry_id"), "entry_id", "left_semi")
-    data = json.loads(state_export_json(task_entries, task_docs, seen))
+    task_seen = (
+        seen.join(task_docs.select("url").distinct(), "url", "left_semi")
+        if seen is not None
+        else None
+    )  # never collect other tasks' urls per request
+    data = json.loads(state_export_json(task_entries, task_docs, task_seen))
     return {"entries": data.get("entries", []), "task": dict(overview)}
 
 
@@ -282,12 +310,17 @@ td,th{{border:1px solid #ccc;padding:.4rem .6rem;text-align:left}}
 (function(){{
   var cfg = window.__PBC_CONFIG__ || {{}};
   var base = cfg.apiBase || "";
+  function esc(v){{
+    return String(v).replace(/[&<>"']/g, function(c){{
+      return {{"&":"&amp;","<":"&lt;",">":"&gt;","\\"":"&quot;","'":"&#39;"}}[c];
+    }});
+  }}
   function render(tasks){{
     var rows = tasks.map(function(t){{
-      return "<tr><td>"+t.name+"</td><td class='status-"+t.status+"'>"+t.status+
-        "</td><td>"+t.status_reason+"</td><td>"+t.entries_total+"</td><td>"+
-        t.documents_total+"</td><td>"+t.downloaded_total+"</td><td>"+
-        t.pending_total+"</td></tr>";
+      return "<tr><td>"+esc(t.name)+"</td><td class='status-"+esc(t.status)+"'>"+esc(t.status)+
+        "</td><td>"+esc(t.status_reason)+"</td><td>"+esc(t.entries_total)+"</td><td>"+
+        esc(t.documents_total)+"</td><td>"+esc(t.downloaded_total)+"</td><td>"+
+        esc(t.pending_total)+"</td></tr>";
     }}).join("");
     document.getElementById("app").innerHTML =
       "<table><tr><th>task</th><th>status</th><th>reason</th><th>entries</th>"+
@@ -307,11 +340,11 @@ td,th{{border:1px solid #ccc;padding:.4rem .6rem;text-align:left}}
 
 
 def _config_script(config: dict) -> str:
-    return (
-        "<script>window.__PBC_CONFIG__ = "
-        + json.dumps(config, ensure_ascii=False)
-        + "</script>"
-    )
+    # '</' inside an inline <script> would terminate the block — escape it
+    # so attacker-controlled task names cannot break out (classic JSON-in-
+    # script hole); JS string semantics are unchanged ('<\/' === '</')
+    payload = json.dumps(config, ensure_ascii=False).replace("</", "<\\/")
+    return "<script>window.__PBC_CONFIG__ = " + payload + "</script>"
 
 
 def render_index_html(*, auto_refresh: int | None = None,

@@ -156,6 +156,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         path, _ = self._route()
         try:
+            # route dispatch precedes body validation (an unrouted POST is a
+            # 404 no matter what the body holds, as in the reference app)
+            if path not in ("/search", "/clause"):
+                return self._send(404, {"detail": "Not Found"})
             payload, err = self._body_json()
             if err is not None:
                 return self._bad(err)

@@ -25,23 +25,16 @@ from pyspark.sql import functions as F
 from .common import load
 from .textops import (
     MINHASH_LSH_PAIRS_SQL,
+    QUALITY_SCORE_SQL,
     SIMHASH_DUP_SQL,
     minhash_lsh_pairs,
     quality_score,
     simhash_dup_pairs,
 )
 
-QUALITY_SUB_SQL = """
-  SELECT doc_id,
-         (n_dist / n_tok) * 2.0 + n_stop / n_tok AS quality
-  FROM (
-    SELECT doc_id,
-           CAST(length(t) AS BIGINT) AS n_tok,
-           CAST(length(list_distinct(t)) AS BIGINT) AS n_dist,
-           CAST(length(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
-  )
-"""
+# single source of truth: the same oracle text the quality_score gate uses —
+# a formula change in textops reaches this oracle automatically
+QUALITY_SUB_SQL = f"SELECT doc_id, quality FROM ({QUALITY_SCORE_SQL})"
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -255,9 +255,16 @@ class PolicyService:
             response["clause_reference"] = _ref_dict(clause_ref)
         return response
 
-    def policies_payload(self, query: str | None = None) -> dict:
+    def policies_payload(self, query: str | None = None,
+                         max_entries: int | None = None) -> dict:
         """GET /policies (ref api_server.py:269-289): keyword filter or the
-        full catalog sorted by normalized title."""
+        full catalog sorted by normalized title.
+
+        The no-query route returns the WHOLE catalog — the reference's
+        contract, fine at its ~10^3 entries. That is a driver transfer: at a
+        100× catalog pass ``max_entries`` to bound it (the sorted read
+        streams through ``toLocalIterator`` so the driver holds at most the
+        page, mirroring how a real deployment would paginate this route)."""
         if query:
             rows = keyword_search(self.index, self.texts, query).collect()
             ids = [r.entry_id for r in rows]
@@ -265,9 +272,17 @@ class PolicyService:
                      self.index.where(F.col("entry_id").isin(ids)).collect()} if ids else {}
             entries = [by_id[i] for i in ids if i in by_id]
         else:
-            entries = self.index.orderBy(
+            ordered = self.index.orderBy(
                 F.when(F.col("norm_title") != "", F.col("norm_title")).otherwise(F.col("title"))
-            ).collect()
+            )
+            if max_entries is not None:
+                entries = []
+                for r in ordered.toLocalIterator():
+                    entries.append(r)
+                    if len(entries) >= max_entries:
+                        break
+            else:
+                entries = ordered.collect()
         payload = {
             "policies": [_entry_payload(r, False, None) for r in entries],
             "result_count": len(entries),

@@ -286,5 +286,93 @@ def test_multi_snapshot_corpus_does_not_fan_out_metrics(spark, site, pages):
             ms.pages_missing,
             ms.links_new,
         )
+        # parse runs once per snapshot (S×, documented) — never S²× (the
+        # join-back fanout this test guards against)
+        assert mm.links_discovered <= 2 * ms.links_discovered
     vis = multi.visited.select("url").collect()
     assert len(vis) == len({r.url for r in vis})  # no duplicate visited rows
+
+    # the scale path: latest_snapshot_view collapses the corpus once at
+    # read, restoring single-snapshot metrics EXACTLY (incl. parse counts)
+    from icrawler_spark.crawl import latest_snapshot_view
+
+    viewed = CrawlEngine(
+        spark, latest_snapshot_view(doubled), CrawlConfig(start_url=START, max_rounds=20)
+    )
+    viewed.run()
+    assert viewed.crawl_order() == single.crawl_order()
+    for ms, mv in zip(single.metrics, viewed.metrics):
+        assert (mv.pages_fetched, mv.links_discovered, mv.links_new, mv.entries_seen) == (
+            ms.pages_fetched,
+            ms.links_discovered,
+            ms.links_new,
+            ms.entries_seen,
+        )
+
+
+def test_bucketed_pages_join_has_no_corpus_exchange(spark, tmp_path):
+    """North-rule Iceberg layout stand-in (VERDICT r2 item 4): with the
+    corpus stored as a parquet table bucketed by url, the fetch join's pages
+    side scans pre-bucketed files — the only Exchange in the join is the
+    (small) batch side, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.crawl import synthetic_pages_df
+
+    pages = synthetic_pages_df(spark, n_pages=5000, n_hosts=53)
+    spark.sql("DROP TABLE IF EXISTS pages_b_test")
+    (
+        pages.write.bucketBy(8, "url")
+        .sortBy("url")
+        .option("path", str(tmp_path / "pages_b"))
+        .saveAsTable("pages_b_test")
+    )
+    try:
+        pt = spark.table("pages_b_test")
+        batch = spark.range(0, 2000).select(
+            F.concat(
+                F.lit("https://host-"),
+                (F.col("id") % 53).cast("string"),
+                F.lit(".example.test/p/"),
+                F.col("id").cast("string"),
+                F.lit(".html"),
+            ).alias("url"),
+            F.col("id").alias("discovery_pos"),
+        )
+        # same shape as CrawlEngine's above-threshold fetch join
+        j = pt.join(batch.hint("shuffle_hash"), "url", "inner").select(
+            "url", "html", "discovery_pos"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1, plan  # batch side only
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_b_test")
+
+
+def test_crawl_from_bucketed_table_matches_plain(spark, tmp_path):
+    """Crawling from the bucketed table read must produce identical rounds,
+    order, and seen-set as the plain DataFrame corpus."""
+    from icrawler_spark.crawl import build_site, site_pages_df
+
+    site = build_site(n_pages=4, entries_per_page=3)
+    pages = site_pages_df(spark, site)
+    plain = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    plain.run()
+
+    spark.sql("DROP TABLE IF EXISTS pages_b_site")
+    (
+        pages.write.bucketBy(4, "url")
+        .sortBy("url")
+        .option("path", str(tmp_path / "pages_b_site"))
+        .saveAsTable("pages_b_site")
+    )
+    try:
+        bucketed = CrawlEngine(
+            spark, spark.table("pages_b_site"), CrawlConfig(start_url=START, max_rounds=20)
+        )
+        bucketed.run()
+        assert bucketed.crawl_order() == plain.crawl_order()
+        assert bucketed.seen_urls() == plain.seen_urls()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_b_site")

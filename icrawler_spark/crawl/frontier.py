@@ -403,11 +403,28 @@ class CrawlEngine:
             batch_side = F.broadcast(batch)
         else:
             batch_side = batch.hint("shuffle_hash")
-        fetched = (
-            self.pages.join(batch_side, "url", "inner")
-            .select("task", "url", "html", "depth", "discovered_round", "discovery_pos")
-            .persist()
+        fetched = self.pages.join(batch_side, "url", "inner").select(
+            "task", "url", "html", "depth", "discovered_round", "discovery_pos"
         )
+        # What to cache from the fetch join is THE big-round scaling decision:
+        # caching the html column writes the whole fetched payload (~30 KB/row
+        # × round size) through the memory bus into the JVM cache — a cost
+        # that is bandwidth-bound, not CPU-bound, so it does NOT shrink with
+        # more cores (measured flat 90.6 s → 84.2 s from 4 to 16 cores on a
+        # 320k-page round). When the entries parse is off, html is consumed
+        # exactly ONCE (the links parse), so cache only the fetched KEYS
+        # (url/depth/discovery_pos — the corpus scan for them is column-
+        # pruned: no html bytes move) and stream html straight from the
+        # corpus scan into the Arrow parse. With the entries parse on, html
+        # is read twice, so the payload cache pays for itself.
+        reuse_html = cfg.parse_entries
+        if reuse_html:
+            fetched = fetched.persist()
+            fetched_keys = fetched.select("url", "depth", "discovery_pos")
+            fetch_cache = fetched
+        else:
+            fetched_keys = fetched.select("url", "depth", "discovery_pos").persist()
+            fetch_cache = fetched_keys
 
         obs_visited = Observation(f"visited_r{rnd}")
         # status join on DISTINCT fetched urls: a multi-snapshot corpus
@@ -415,7 +432,7 @@ class CrawlEngine:
         # duplicate visited rows, inflated n_batch/n_fetched, negative
         # n_deferred. distinct() here shuffles url strings only, never html.
         batch_visited = batch.join(
-            fetched.select("url").distinct().withColumn("_st", F.lit("fetched")),
+            fetched_keys.select("url").distinct().withColumn("_st", F.lit("fetched")),
             "url",
             "left",
         ).select(
@@ -436,7 +453,7 @@ class CrawlEngine:
         self.visited = self._union_visited()
         n_batch = _obs_long(obs_visited, "n_batch", batch.count)
         n_fetched = _obs_long(
-            obs_visited, "n_fetched", lambda: fetched.select("url").distinct().count()
+            obs_visited, "n_fetched", lambda: fetched_keys.select("url").distinct().count()
         )
         n_missing = n_batch - n_fetched
         n_deferred = n_pending_before - n_batch
@@ -454,7 +471,9 @@ class CrawlEngine:
         # (first-wins link dedup below), paying S× parse work and counting
         # per-snapshot parses in links_discovered.
         links = udfs.parse_pagination_links(page_inputs).join(
-            fetched.select(F.col("url").alias("page_url"), "depth", "discovery_pos").distinct(),
+            fetched_keys.select(
+                F.col("url").alias("page_url"), "depth", "discovery_pos"
+            ).distinct(),
             "page_url",
         ).select(
             "task",
@@ -526,7 +545,9 @@ class CrawlEngine:
             parsed = udfs.parse_listing_entries(
                 fetched.withColumn("dialect", F.lit(cfg.dialect))
             ).join(
-                fetched.select(F.col("url").alias("page_url"), "discovery_pos").distinct(),
+                fetched_keys.select(
+                    F.col("url").alias("page_url"), "discovery_pos"
+                ).distinct(),
                 "page_url",
             )
             parsed = parsed.withColumn(
@@ -626,7 +647,7 @@ class CrawlEngine:
             )
 
         batch.unpersist()
-        fetched.unpersist()
+        fetch_cache.unpersist()
         links.unpersist()
         if self.store is None and prev_pending is not None:
             prev_pending.unpersist()

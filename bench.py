@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "knn_brute_force",          # ANN query baseline
     "cosine_dup_pairs",         # multi-probe LSH near-dup (r3)
     "dup_clusters",             # connected-components consolidation (r3)
+    "ivf_topk",                 # IVF-probed ANN search (r3)
 ]
 
 

@@ -316,15 +316,12 @@ QUERIES = {
 }
 
 
-def ivf_assign(spark, sf_dir):
-    """IVF coarse quantization: every vector assigned to its nearest
-    (deterministic) label centroid by squared L2 — the index-build step of
-    IVF-flat ANN. At scale the centroid table is broadcast (k entries) and
-    assignment is one map-side join; here centroids come from the exact
-    sequential-fold computation in ``label_centroids``."""
-    e = load(spark, sf_dir, "embeddings")
-    cent = (
-        label_centroids(spark, sf_dir)
+def _centroid_vectors_df(vecs):
+    """(c_label, cvec) — exact label centroids re-assembled as vectors; the
+    k-row table every IVF stage broadcasts. ``vecs``: (label, vec_id,
+    v:array<double>)."""
+    return (
+        label_centroids_from_vectors(vecs)
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "value"))).alias("cv"))
         .select(
@@ -332,7 +329,18 @@ def ivf_assign(spark, sf_dir):
             F.transform(F.col("cv"), lambda x: x["value"]).alias("cvec"),
         )
     )
-    pairs = e.select("vec_id", _vec().alias("v")).crossJoin(F.broadcast(cent))
+
+
+def _embedding_vecs(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", _vec().alias("v")
+    )
+
+
+def ivf_assign_df(vecs):
+    """DataFrame-core of ``ivf_assign`` (injectable for recall tests)."""
+    cent = _centroid_vectors_df(vecs)
+    pairs = vecs.select("vec_id", "v").crossJoin(F.broadcast(cent))
     d2 = _fold_sum(F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)))
     w = pairs.select("vec_id", "c_label", d2.alias("d2"))
     from pyspark.sql import Window
@@ -343,6 +351,15 @@ def ivf_assign(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .select("vec_id", F.col("c_label").alias("assigned_label"), "d2")
     )
+
+
+def ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: every vector assigned to its nearest
+    (deterministic) label centroid by squared L2 — the index-build step of
+    IVF-flat ANN. At scale the centroid table is broadcast (k entries) and
+    assignment is one map-side join; here centroids come from the exact
+    sequential-fold computation in ``label_centroids``."""
+    return ivf_assign_df(_embedding_vecs(spark, sf_dir))
 
 
 IVF_ASSIGN_SQL = f"""{_CENTROID_SQL_TEMPLATE},
@@ -364,3 +381,100 @@ SELECT vec_id, c_label AS assigned_label, d2 FROM (
 """
 
 QUERIES["ivf_assign"] = (ivf_assign, IVF_ASSIGN_SQL)
+
+
+_IVF_NPROBE = 2
+
+
+def ivf_topk_df(vecs, query_vec_id=0, nprobe=_IVF_NPROBE, k=10):
+    """DataFrame-core of ``ivf_topk``: query probes its ``nprobe`` nearest
+    centroids, candidates are the vectors assigned to those centroids, and
+    only the candidates pay an exact cosine re-rank."""
+    cent = _centroid_vectors_df(vecs)
+    q = vecs.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    qd2 = _fold_sum(F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("c_label", qd2.alias("qd2"))
+        .orderBy(F.asc("qd2"), F.asc("c_label"))
+        .limit(nprobe)
+        .select(F.col("c_label").alias("assigned_label"))
+    )
+    cand_ids = (
+        ivf_assign_df(vecs)
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes), "assigned_label", "left_semi")
+        .select("vec_id")
+    )
+    return (
+        vecs.join(cand_ids, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(spark, sf_dir):
+    """IVF-flat ANN **search** (the query-side complement of ``ivf_assign``):
+    the query vector probes its ``_IVF_NPROBE`` nearest centroids, candidates
+    are the vectors assigned to those centroids, and only the candidates pay
+    an exact cosine re-rank (top-10, same output contract as
+    ``knn_brute_force``).
+
+    Scale shape (10^10 vectors): centroids (k rows) and the query's probe set
+    (nprobe rows) are driver-small broadcasts; the candidate filter is a
+    broadcast semi-join on ``assigned_label``, so the only full-table work is
+    the one-off assignment — on a real deployment the vector table is
+    *stored* partitioned by assigned_label (IVF list files) and the probe
+    reads just those partitions, which is exactly the partition-pruning this
+    equi-join expresses. The re-rank is TakeOrderedAndProject over ~n/k ×
+    nprobe rows, not n.
+
+    Recall contract — IVF recall is a property of the DATA, not just the
+    index: on clusterable vectors (neighbors share coarse cells) recall@10 is
+    ≥ 0.9 with nprobe=2 (measured on planted clusters,
+    tests/test_centroids.py); on the synthetic ``embeddings`` table, whose
+    labels carry no geometric signal (same-label avg cosine ≈ 0.004 ≈
+    cross-label), no coarse quantizer can beat recall ≈ nprobe/k — measured
+    0.3-0.4 here. For unstructured corpora use ``knn_brute_force`` /
+    ``ann_lsh_topk``, or train centroids on the vectors (k-means) rather
+    than on an unrelated label column."""
+    return ivf_topk_df(_embedding_vecs(spark, sf_dir))
+
+
+IVF_TOPK_SQL = f"""{_CENTROID_SQL_TEMPLATE},
+cent AS (
+  SELECT label AS c_label,
+         list_transform(range(1, {_DIM + 1}), i -> tot[i] / n) AS cvec
+  FROM g
+),
+ev AS (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+probes AS (
+  SELECT c_label
+  FROM cent, q
+  ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}),
+    i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))), (s, x) -> s + x) ASC, c_label ASC
+  LIMIT {_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, c_label AS assigned_label FROM (
+    SELECT e.vec_id, c.c_label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}),
+               i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), (s, x) -> s + x) ASC,
+             c.c_label ASC) AS rn
+    FROM ev e, cent c
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, {_cosine_sql('e.v', 'q.qv')} AS cosine
+FROM ev e, q
+WHERE e.vec_id <> 0
+  AND e.vec_id IN (SELECT vec_id FROM assign
+                   WHERE assigned_label IN (SELECT c_label FROM probes))
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+QUERIES["ivf_topk"] = (ivf_topk, IVF_TOPK_SQL)

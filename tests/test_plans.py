@@ -86,6 +86,7 @@ def test_no_cartesian_products_in_registry(spark):
     bnlj_ok = {
         "knn_brute_force",
         "ivf_assign",
+        "ivf_topk",
         "run_summary",
         "serial_assignment",
         "status_rollup",

@@ -87,6 +87,16 @@ def main() -> None:
         # write-distribution would maintain it on a real cluster; per-round
         # fetch joins then read pre-bucketed files — no corpus Exchange
         spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+        # a fresh derby metastore doesn't know about a previous run's table,
+        # so DROP TABLE alone leaves the warehouse directory behind and
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS — clear it
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), "pages_bucketed"),
+            ignore_errors=True,
+        )
         (
             pages.write.bucketBy(args.bucketed_pages, "url")
             .sortBy("url")

@@ -399,7 +399,8 @@ class CrawlEngine:
         # OOM building the broadcast relation. Above the threshold, hint
         # shuffle-hash with the batch as build side: on a real cluster the
         # pages table is url-bucketed (Iceberg) so only the batch shuffles.
-        if n_pending_before <= cfg.broadcast_batch_threshold:
+        is_broadcast_batch = n_pending_before <= cfg.broadcast_batch_threshold
+        if is_broadcast_batch:
             batch_side = F.broadcast(batch)
         else:
             batch_side = batch.hint("shuffle_hash")
@@ -411,13 +412,17 @@ class CrawlEngine:
         # × round size) through the memory bus into the JVM cache — a cost
         # that is bandwidth-bound, not CPU-bound, so it does NOT shrink with
         # more cores (measured flat 90.6 s → 84.2 s from 4 to 16 cores on a
-        # 320k-page round). When the entries parse is off, html is consumed
-        # exactly ONCE (the links parse), so cache only the fetched KEYS
-        # (url/depth/discovery_pos — the corpus scan for them is column-
-        # pruned: no html bytes move) and stream html straight from the
-        # corpus scan into the Arrow parse. With the entries parse on, html
-        # is read twice, so the payload cache pays for itself.
-        reuse_html = cfg.parse_entries
+        # 320k-page round). When the entries parse is off AND the batch side
+        # is broadcast, html is consumed exactly ONCE (the links parse) and
+        # re-deriving the join is a column-pruned corpus scan — so cache only
+        # the fetched KEYS (url/depth/discovery_pos) and stream html straight
+        # from the corpus scan into the Arrow parse. With the entries parse
+        # on, html is read twice, so the payload cache pays for itself. On
+        # the SHUFFLE-HASH path the payload cache is mandatory regardless:
+        # an uncached plan re-executes the join per consumer and shuffles the
+        # html bytes to disk each time (measured 810 s vs 310 s on a 10M-URL
+        # round — the shuffle, not the cache write, is the bandwidth killer).
+        reuse_html = cfg.parse_entries or not is_broadcast_batch
         if reuse_html:
             fetched = fetched.persist()
             fetched_keys = fetched.select("url", "depth", "discovery_pos")

@@ -15,9 +15,9 @@ Determinism contract (the driver value-hashes results):
 
 from __future__ import annotations
 
-from . import analytics, clusterops, engineops, simsearch, textops
+from . import analytics, clusterops, engineops, graphops, simsearch, textops
 
-_MODULES = (analytics, textops, simsearch, clusterops, engineops)
+_MODULES = (analytics, textops, simsearch, clusterops, engineops, graphops)
 
 
 def all_queries():

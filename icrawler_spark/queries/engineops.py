@@ -298,10 +298,135 @@ FROM idx ORDER BY score DESC, entry_id ASC LIMIT {_SEARCH_TOPK}
 SEARCH_TOPK_SQL = _search_topk_oracle_sql()
 
 
+# --- URL canonicalization (frontier dedup key) --------------------------------
+
+# A 10^10-URL frontier dedups on a CANONICAL url, not the raw string — case
+# noise in scheme/host, explicit default ports, fragments, duplicate path
+# slashes and query-parameter order otherwise multiply the seen-set (RFC 3986
+# §6 normalization; the reference dedups raw strings because its corpora are
+# self-consistent, ref pbc_monitor.py seen-set). The testdata has no url
+# column, so raw urls are synthesized deterministically from doc_id — three
+# messy variants per logical page — identically on both engines; the operator
+# under test is the normalization chain (pure codegen, no UDF, and every
+# regex avoids lookaround so Java (Spark) and RE2 (DuckDB) agree).
+
+
+def _canonicalize_url(u):
+    """RFC-3986-style normalization as a Column expression chain."""
+    u1 = F.regexp_replace(u, r"#.*$", "")  # strip fragment
+    scheme = F.lower(F.regexp_extract(u1, r"^([^:/?#]+)://", 1))
+    auth = F.lower(F.regexp_extract(u1, r"^[^:/?#]+://([^/?#]*)", 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    rest = F.regexp_replace(u1, r"^[^:/?#]+://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qnorm = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    return F.concat(scheme, F.lit("://"), auth, path, qnorm)
+
+
+def url_canonicalize(spark, sf_dir):
+    """Canonical-url rollup over a deterministically-messy raw url corpus.
+
+    Returns (canonical_url, n_variants, n_distinct_raw, first_raw): the
+    frontier-dedup view — how many raw spellings collapse onto each
+    canonical key. All codegen (regexp/case/array ops); one shuffle on the
+    canonical key.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    page = F.expr("doc_id DIV 3")
+    v = F.col("doc_id") % 3
+    h = (page % 97).cast("string")
+    pg = page.cast("string")
+    scheme_raw = F.when(v == 1, F.lit("HTTP")).otherwise(F.lit("http"))
+    host_raw = (
+        F.when(v == 0, F.concat(F.lit("host"), h, F.lit(".example.com")))
+        .when(v == 1, F.concat(F.lit("HOST"), h, F.lit(".Example.COM")))
+        .otherwise(F.concat(F.lit("Host"), h, F.lit(".example.Com")))
+    )
+    port_raw = F.when(v == 1, F.lit(":80")).otherwise(F.lit(""))
+    path_raw = F.when(
+        v == 2, F.concat(F.lit("//docs//"), pg, F.lit("//"))
+    ).otherwise(F.concat(F.lit("/docs/"), pg, F.lit("/")))
+    query_raw = F.when(v == 1, F.lit("?a=1&b=2")).otherwise(F.lit("?b=2&a=1"))
+    frag_raw = F.when(v == 2, F.lit("#sec")).otherwise(F.lit(""))
+    raw = F.concat(
+        scheme_raw, F.lit("://"), host_raw, port_raw, path_raw, query_raw, frag_raw
+    )
+    urls = d.select(raw.alias("raw_url"))
+    return (
+        urls.select("raw_url", _canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+            F.min("raw_url").alias("first_raw"),
+        )
+    )
+
+
+URL_CANONICALIZE_SQL = r"""
+WITH raws AS (
+  SELECT CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END || '://' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'host' || CAST((doc_id // 3) % 97 AS VARCHAR) || '.example.com'
+              WHEN doc_id % 3 = 1
+              THEN 'HOST' || CAST((doc_id // 3) % 97 AS VARCHAR) || '.Example.COM'
+              ELSE 'Host' || CAST((doc_id // 3) % 97 AS VARCHAR) || '.example.Com'
+         END ||
+         CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 2
+              THEN '//docs//' || CAST(doc_id // 3 AS VARCHAR) || '//'
+              ELSE '/docs/' || CAST(doc_id // 3 AS VARCHAR) || '/'
+         END ||
+         CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '?b=2&a=1' END ||
+         CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END AS raw_url
+  FROM documents
+),
+canon AS (
+  SELECT raw_url,
+         scheme || '://' || auth2 || path2 ||
+         CASE WHEN query = '' THEN ''
+              ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+         END AS canonical_url
+  FROM (
+    SELECT raw_url, scheme,
+           CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                ELSE auth END AS auth2,
+           CASE WHEN regexp_replace(path, '/{2,}', '/', 'g') = '' THEN '/'
+                ELSE regexp_replace(path, '/{2,}', '/', 'g') END AS path2,
+           query
+    FROM (
+      SELECT raw_url,
+             lower(regexp_extract(u1, '^([^:/?#]+)://', 1)) AS scheme,
+             lower(regexp_extract(u1, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+             regexp_extract(regexp_replace(u1, '^[^:/?#]+://[^/?#]*', ''),
+                            '^([^?]*)', 1) AS path,
+             regexp_extract(regexp_replace(u1, '^[^:/?#]+://[^/?#]*', ''),
+                            '\?(.*)$', 1) AS query
+      FROM (SELECT raw_url, regexp_replace(raw_url, '#.*$', '') AS u1 FROM raws)
+    )
+  )
+)
+SELECT canonical_url, COUNT(*) AS n_variants,
+       COUNT(DISTINCT raw_url) AS n_distinct_raw, MIN(raw_url) AS first_raw
+FROM canon GROUP BY canonical_url
+"""
+
+
 QUERIES = {
     "html_text_extraction": (html_text_extraction, HTML_TEXT_EXTRACTION_SQL),
     "crawl_frontier_round": (crawl_frontier_round, CRAWL_FRONTIER_SQL),
     "search_topk": (search_topk, SEARCH_TOPK_SQL),
+    "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
 }
 
 

@@ -18,6 +18,7 @@ candidate pairs, which is the standard MinHash-LSH contract.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import load
@@ -227,6 +228,88 @@ def exact_dedup(spark, sf_dir):
 EXACT_DEDUP_SQL = """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)
+"""
+
+
+# --- paragraph-level (chunk) dedup --------------------------------------------
+
+# CCNet / C4 dedup at sub-document granularity: the corpus is deduplicated at
+# the paragraph level, keeping the FIRST occurrence in corpus order and
+# rewriting each document without its duplicated spans. The testdata corpus
+# has no newline paragraph marks, so the "paragraph" unit is a fixed window
+# of 16 whitespace tokens — the same shape, deterministic on both engines.
+_PARA_TOKENS = 16
+
+
+def paragraph_dedup(spark, sf_dir):
+    """Corpus-wide first-wins paragraph dedup with document reassembly.
+
+    Returns (doc_id, clean_text, n_chunks, n_kept). First occurrence is by
+    (doc_id, chunk_idx) — total corpus order, partition-independent.
+
+    Scale notes: one shuffle keyed on the chunk hash (bounded fanout — a
+    128-bit key), one groupBy(doc_id) to reassemble. The within-group sort
+    for reassembly is array_sort over a document's own chunks (bounded by
+    document length), never a global sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(_PARA_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+        ),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ex = ex.withColumn("kept", F.row_number().over(w) == 1)
+    return ex.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "kept", "chunk"))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok, u.ord AS ord
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({_TOKENS_SQL.format(c='text')},
+                                 (x, i) -> struct_pack(tok := x, ord := i))) AS u
+    FROM documents
+  )
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((ord - 1) // {_PARA_TOKENS} AS INT) AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk
+  FROM toks GROUP BY doc_id, (ord - 1) // {_PARA_TOKENS}
+),
+flagged AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) = 1 AS kept
+  FROM chunks
+)
+SELECT doc_id,
+       COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                FILTER (WHERE kept), '') AS clean_text,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id
 """
 
 
@@ -593,6 +676,7 @@ QUERIES = {
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),

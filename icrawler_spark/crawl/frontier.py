@@ -150,17 +150,34 @@ class CrawlEngine:
         config: CrawlConfig,
         robots_rules: DataFrame | None = None,
         seeds_df: DataFrame | None = None,
+        priority_df: DataFrame | None = None,
     ):
         """``seeds_df`` (url string, pos long — pos unique, FIFO order) seeds
         the frontier DISTRIBUTED: a 10^7+-URL recrawl list must come from a
         table scan, not a driver-side Python list serialized through
         ``createDataFrame`` (minutes of driver time and GBs of heap at 10M
-        URLs). Positions need not be dense — only unique and order-true."""
+        URLs). Positions need not be dense — only unique and order-true.
+
+        ``priority_df`` (url string, priority long — higher first) turns the
+        FIFO frontier into the north_star's PRIORITY frontier: under a
+        per-host politeness budget, higher-priority urls are fetched first
+        and lower ones deferred to later rounds (the classic importance-
+        ordered crawl — feed it ``link_pagerank`` scores). Unscored urls
+        default to priority 0; ties fall back to FIFO order, so with no
+        priority_df the engine is exactly the reference's FIFO crawl.
+        Completeness is unchanged — priority reorders rounds, never drops."""
         self.spark = spark
         self.pages = pages
         self.cfg = config
         self.robots_rules = robots_rules
         self._seeds_df = seeds_df
+        # pin once: joined against pending every round
+        self._priority_df = (
+            priority_df.select("url", F.col("priority").cast("long").alias("priority"))
+            .localCheckpoint(eager=True)
+            if priority_df is not None
+            else None
+        )
         self.store = SnapshotStore(spark, config.checkpoint_dir) if config.checkpoint_dir else None
         self.metrics: list[RoundMetrics] = []
         # visited is append-only: pinned per-round deltas, unioned lazily —
@@ -380,8 +397,21 @@ class CrawlEngine:
         n_pending_before = self._n_pending
         order = [F.asc("discovered_round"), F.asc("discovery_pos")]
         if cfg.host_budget is not None:
+            ranked = pending
+            if self._priority_df is not None:
+                # priority frontier: importance-first within each host's
+                # budget, FIFO tie-break. Left join (scores may be partial);
+                # the score table is usually tiny vs the frontier — let AQE
+                # pick broadcast; at 10^10 it would be url-bucketed alongside
+                # the frontier table so neither side reshuffles.
+                ranked = ranked.join(self._priority_df, "url", "left").withColumn(
+                    "priority", F.coalesce(F.col("priority"), F.lit(0))
+                )
+                order = [F.desc("priority")] + order
             w = Window.partitionBy("netloc").orderBy(*order)
-            ranked = pending.withColumn("_hrk", F.row_number().over(w))
+            ranked = ranked.withColumn("_hrk", F.row_number().over(w))
+            if self._priority_df is not None:
+                ranked = ranked.drop("priority")
             batch = ranked.where(F.col("_hrk") <= cfg.host_budget).drop("_hrk")
             deferred = ranked.where(F.col("_hrk") > cfg.host_budget).drop("_hrk")
         else:

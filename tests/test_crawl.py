@@ -70,6 +70,48 @@ def test_politeness_budget_parity(spark, site, pages):
     assert len(per_round) == len(ref_order)
 
 
+def test_priority_frontier_reorders_under_budget(spark, site, pages):
+    """priority_df turns the FIFO frontier into a priority queue: with a
+    1-per-host budget and all pagination pages discovered in round 0,
+    higher-priority pages are fetched FIRST (reverse of FIFO), while the
+    final seen-set/completeness is unchanged."""
+    base = "https://www.example.test/list"
+    prio = spark.createDataFrame(
+        [(f"{base}/index_{k}.html", k) for k in (1, 2, 3)],
+        "url string, priority long",
+    )
+    cfg = CrawlConfig(start_url=START, max_rounds=30, host_budget=1)
+    eng = CrawlEngine(spark, pages, cfg, priority_df=prio)
+    eng.run()
+    fifo_order, fifo_seen, _ = crawl_model(site, START, host_budget=1)
+    got = eng.crawl_order()
+    # importance-first: index_3, index_2, index_1 after the seed
+    assert got == [
+        START,
+        f"{base}/index_3.html",
+        f"{base}/index_2.html",
+        f"{base}/index_1.html",
+    ]
+    assert got != fifo_order
+    assert eng.seen_urls() == fifo_seen  # reordered, never dropped
+    per_round = eng.visited.groupBy("round").count().collect()
+    assert all(r["count"] <= 1 for r in per_round)  # budget still respected
+
+
+def test_priority_frontier_default_is_fifo(spark, site, pages):
+    """No priority_df (or all-equal scores) ⇒ exactly the reference FIFO."""
+    prio = spark.createDataFrame(
+        [("https://www.example.test/list/index_2.html", 0)],
+        "url string, priority long",
+    )
+    cfg = CrawlConfig(start_url=START, max_rounds=30, host_budget=1)
+    eng = CrawlEngine(spark, pages, cfg, priority_df=prio)
+    eng.run()
+    ref_order, ref_seen, _ = crawl_model(site, START, host_budget=1)
+    assert eng.crawl_order() == ref_order
+    assert eng.seen_urls() == ref_seen
+
+
 def test_missing_pages_marked_visited(spark, site):
     # drop one listing page from the corpus: engine must mark it missing and
     # never retry it, matching the model's visited semantics

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "cosine_dup_pairs",         # multi-probe LSH near-dup (r3)
     "dup_clusters",             # connected-components consolidation (r3)
     "ivf_topk",                 # IVF-probed ANN search (r3)
+    "link_pagerank",            # iterative link-graph priority scores (r3)
+    "paragraph_dedup",          # sub-document first-wins dedup (r3)
+    "url_canonicalize",         # frontier dedup-key normalization (r3)
 ]
 
 

@@ -52,6 +52,13 @@ def main() -> None:
         "url-bucketed layout of the north rule; only the batch shuffles)",
     )
     ap.add_argument(
+        "--reuse-bucketed-table",
+        action="store_true",
+        help="register an existing pages_bucketed warehouse dir via bucketed "
+        "DDL instead of rewriting it (the table write is a one-time layout "
+        "cost; reruns only measure the crawl)",
+    )
+    ap.add_argument(
         "--prime",
         action="store_true",
         help="run a small untimed crawl first so JIT/codegen/arrow warm-up "
@@ -82,7 +89,25 @@ def main() -> None:
         links_per_page=args.links_per_page,
         filler_paragraphs=args.filler_paragraphs,
     )
-    if args.bucketed_pages:
+    if args.bucketed_pages and args.reuse_bucketed_table:
+        # a previous run already paid the layout cost: register the existing
+        # bucket files with a fresh metastore via bucketed DDL
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), "pages_bucketed")
+        assert os.path.isdir(loc), f"no reusable bucketed table at {loc}"
+        if not spark.catalog.tableExists("pages_bucketed"):
+            # fresh metastore, existing bucket files: register them external.
+            # NEVER DROP here — the previous run's table is managed, and a
+            # drop through a shared metastore would delete the data files.
+            spark.sql(
+                "CREATE TABLE pages_bucketed "
+                "(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING) "
+                "USING PARQUET "
+                f"CLUSTERED BY (url) SORTED BY (url) INTO {args.bucketed_pages} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        pages = spark.table("pages_bucketed")
+    elif args.bucketed_pages:
         # one-time bucketed layout (outside the timed window), as Iceberg
         # write-distribution would maintain it on a real cluster; per-round
         # fetch joins then read pre-bucketed files — no corpus Exchange
@@ -129,6 +154,7 @@ def main() -> None:
         bloom_capacity=n_pages,
         n_host_shards=max(args.cpus, 8),
         fast_metrics=True,
+        pages_is_bucketed=bool(args.bucketed_pages),
     )
     if args.prime:
         prime_pages = synthetic_pages_df(spark, n_pages=5000, n_hosts=53)

@@ -70,6 +70,12 @@ class CrawlConfig:
                                        # observe() metrics on the pin actions
     broadcast_batch_threshold: int = 1_000_000  # URLs; above → shuffle join
     compact_visited_every: int = 16    # coalesce visited deltas every K rounds
+    pages_is_bucketed: bool = False    # pages table stored bucketed by url
+                                       # (Iceberg layout): re-deriving the
+                                       # fetch join is a bucket-local scan
+                                       # with no corpus shuffle, so cache
+                                       # only the fetched KEYS — never the
+                                       # html payload (~30 KB/row × round)
 
     def seeds(self) -> list[str]:
         if self.seed_urls:
@@ -448,11 +454,21 @@ class CrawlEngine:
         # the fetched KEYS (url/depth/discovery_pos) and stream html straight
         # from the corpus scan into the Arrow parse. With the entries parse
         # on, html is read twice, so the payload cache pays for itself. On
-        # the SHUFFLE-HASH path the payload cache is mandatory regardless:
-        # an uncached plan re-executes the join per consumer and shuffles the
-        # html bytes to disk each time (measured 810 s vs 310 s on a 10M-URL
-        # round — the shuffle, not the cache write, is the bandwidth killer).
-        reuse_html = cfg.parse_entries or not is_broadcast_batch
+        # the SHUFFLE-HASH path the payload cache is mandatory when the
+        # corpus is a plain table: an uncached plan re-executes the join per
+        # consumer and shuffles the html bytes to disk each time (measured
+        # 810 s vs 310 s on a 10M-URL round — the shuffle, not the cache
+        # write, is the bandwidth killer). But when the pages table is
+        # BUCKETED by url (cfg.pages_is_bucketed — the Iceberg layout of the
+        # north rule), the pages side of the join never shuffles at all:
+        # re-deriving the join is a bucket-local parquet scan plus the
+        # (persisted, keys-only) batch exchange, so the keys-only cache wins
+        # there too — persisting the payload wrote ~75 GB through the block
+        # manager for nothing (measured: 1924 s with payload cache vs the
+        # keys-only rerun on the same 10M-URL bucketed round).
+        reuse_html = cfg.parse_entries or not (
+            is_broadcast_batch or cfg.pages_is_bucketed
+        )
         if reuse_html:
             fetched = fetched.persist()
             fetched_keys = fetched.select("url", "depth", "discovery_pos")

@@ -513,6 +513,62 @@ def sessionize(spark, sf_dir):
     )
 
 
+# --- recrawl scheduling --------------------------------------------------------
+
+
+def recrawl_schedule(spark, sf_dir):
+    """Change-frequency-weighted refetch priority (the incremental-crawl
+    scheduler's core computation — Cho & Garcia-Molina, "Effective page
+    refresh policies for web crawlers", TODS 2003: refresh effort goes to
+    pages that change often and have not been fetched recently).
+
+    The ``events`` table is read as a fetch log: ``user_id`` = page,
+    ``ts`` = fetch time, ``props`` = content fingerprint at that fetch.
+    Per page: n_fetches, n_changes (distinct fingerprints), staleness in
+    microseconds as of the corpus' latest fetch, and an integer priority
+    ``(age_us * n_changes) DIV n_fetches`` — exact arithmetic, so the score
+    is partition-order independent and value-identical in the oracle.
+
+    Scale notes: one groupBy(user_id) shuffle with map-side partial aggs;
+    the corpus max-ts is a scalar job (at 10^10 rows it's one tree-reduced
+    agg), injected as a literal — no global window, no 1-row join.
+    """
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    mx_lit = F.lit(mx).cast(ev.schema["ts"].dataType)
+    per = ev.groupBy(F.col("user_id").alias("url_id")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.countDistinct("props").alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    age_us = F.expr("timestampdiff(MICROSECOND, last_ts, mx)").cast("long")
+    return per.withColumn("mx", mx_lit).select(
+        "url_id",
+        "n_fetches",
+        "n_changes",
+        age_us.alias("age_us"),
+        F.expr(
+            "CAST((timestampdiff(MICROSECOND, last_ts, mx) * n_changes)"
+            " DIV n_fetches AS BIGINT)"
+        ).alias("refetch_priority"),
+    )
+
+
+RECRAWL_SCHEDULE_SQL = """
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+per AS (
+  SELECT user_id AS url_id, COUNT(*) AS n_fetches,
+         COUNT(DISTINCT props) AS n_changes, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT url_id, n_fetches, n_changes,
+       CAST(date_diff('microsecond', last_ts, (SELECT mx FROM m)) AS BIGINT) AS age_us,
+       CAST((date_diff('microsecond', last_ts, (SELECT mx FROM m)) * n_changes)
+            // n_fetches AS BIGINT) AS refetch_priority
+FROM per
+"""
+
+
 SESSIONIZE_SQL = """
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
@@ -574,4 +630,5 @@ QUERIES = {
     "union_dedup": (union_dedup, UNION_DEDUP_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "hourly_rollup": (hourly_rollup, HOURLY_ROLLUP_SQL),
+    "recrawl_schedule": (recrawl_schedule, RECRAWL_SCHEDULE_SQL),
 }

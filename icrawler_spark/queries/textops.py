@@ -231,6 +231,81 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# --- Gopher-rule quality gate --------------------------------------------------
+
+# The MassiveText quality filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): word-count
+# bounds, mean-word-length band, symbol-to-word ratio, and stop-word
+# presence. All flags are computed in exact integer arithmetic (the
+# mean-word-length band 3..10 is tested as 3n ≤ Σlen ≤ 10n, no division) so
+# the oracle is value-exact.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(spark, sf_dir):
+    """Per-document Gopher quality flags + the combined pass/fail gate.
+
+    Returns (doc_id, n_words, sum_word_len, n_stopwords, ok_word_count,
+    ok_mean_word_len, ok_symbol_ratio, ok_stop_words, passes_gopher).
+    Pure codegen map stage — embarrassingly parallel at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    # sequential fold → deterministic; integer-exact
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_sym = F.size(
+        F.filter(toks, lambda x: x.isin("#", "...", "…"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]))
+    ).cast("long")
+    ok_wc = (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+    ok_mwl = (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    ok_sym = n_sym * 10 <= n  # symbol-to-word ratio ≤ 0.1, integer form
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_stop.alias("n_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stop_words"),
+        (ok_wc & ok_mwl & ok_sym & ok_stop).alias("passes_gopher"),
+    )
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(length(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_word_len,
+         CAST(length(list_filter(toks, x -> x IN ('#', '...', '…'))) AS BIGINT) AS n_sym,
+         CAST(length(list_intersect(list_distinct(toks),
+              {list(_GOPHER_STOPWORDS)})) AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, sum_word_len, n_stopwords,
+       n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS} AS ok_word_count,
+       sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words AS ok_mean_word_len,
+       n_sym * 10 <= n_words AS ok_symbol_ratio,
+       n_stopwords >= 2 AS ok_stop_words,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+         AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+         AND (n_sym * 10 <= n_words) AND (n_stopwords >= 2) AS passes_gopher
+FROM s
+"""
+
+
 # --- paragraph-level (chunk) dedup --------------------------------------------
 
 # CCNet / C4 dedup at sub-document granularity: the corpus is deduplicated at
@@ -673,6 +748,7 @@ QUERIES = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_STATS_BPE_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),

@@ -411,10 +411,29 @@ def test_crawl_from_bucketed_table_matches_plain(spark, tmp_path):
     )
     try:
         bucketed = CrawlEngine(
-            spark, spark.table("pages_b_site"), CrawlConfig(start_url=START, max_rounds=20)
+            spark,
+            spark.table("pages_b_site"),
+            CrawlConfig(start_url=START, max_rounds=20, pages_is_bucketed=True),
         )
         bucketed.run()
         assert bucketed.crawl_order() == plain.crawl_order()
         assert bucketed.seen_urls() == plain.seen_urls()
+        # keys-only cache path (pages_is_bucketed) on a forced shuffle-hash
+        # round must be identical too: broadcast threshold 0 disables the
+        # broadcast fetch join, exercising reuse_html=False on the bucketed
+        # corpus — html streams from bucket-local scans, never persisted
+        sh = CrawlEngine(
+            spark,
+            spark.table("pages_b_site"),
+            CrawlConfig(
+                start_url=START,
+                max_rounds=20,
+                pages_is_bucketed=True,
+                broadcast_batch_threshold=0,
+                parse_entries=False,  # reuse_html=False: the keys-only path
+            ),
+        )
+        sh.run()
+        assert sh.crawl_order() == plain.crawl_order()
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_b_site")

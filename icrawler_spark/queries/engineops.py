@@ -298,6 +298,95 @@ FROM idx ORDER BY score DESC, entry_id ASC LIMIT {_SEARCH_TOPK}
 SEARCH_TOPK_SQL = _search_topk_oracle_sql()
 
 
+# --- priority-frontier schedule -------------------------------------------------
+
+# Deterministic priorities for the mini-site's pagination pages: index_1 and
+# index_3 TIE (FIFO discovery order breaks it), index_5 is unscored (priority
+# 0, scheduled last — and absent from the pages table, so it lands `missing`).
+_SITE_PRIORITIES = {1: 3, 2: 6, 3: 3, 4: 5}
+
+
+def priority_frontier_round(spark, sf_dir):
+    """The priority-queue crawl schedule as an oracle-checked surface.
+
+    Same 6-page site as ``crawl_frontier_round`` but with a 1-per-host
+    politeness budget and an external (url, priority) score table: the
+    engine must fetch pending pages highest-priority-first, one per round,
+    FIFO on ties, unscored pages last. Returns (url, round, global_pos,
+    status) — rounds are the priority schedule; positions stay discovery-
+    order (they are assigned when a link is first seen, not when fetched).
+    """
+    from ..crawl import CrawlConfig, CrawlEngine, site_pages_df
+
+    base = _SITE_START.rsplit("/", 1)[0]
+    pages = site_pages_df(spark, _frontier_site())
+    prio = spark.createDataFrame(
+        [(f"{base}/index_{k}.html", p) for k, p in _SITE_PRIORITIES.items()],
+        "url string, priority long",
+    )
+    eng = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            start_url=_SITE_START, max_rounds=10, use_bloom=False, host_budget=1
+        ),
+        priority_df=prio,
+    )
+    eng.run()
+    return eng.visited.select("url", "round", "global_pos", "status")
+
+
+def _priority_frontier_oracle_sql() -> str:
+    """Independent SQL recomputation of the priority schedule.
+
+    Discovery order comes from the pure-Python pagination parser over the
+    SEED page only (every other page is discovered there — the site's
+    pagination bar links all pages); the schedule is then pure SQL:
+    round = rank by (priority DESC, discovery order ASC), the seed is
+    round 0, and status reflects presence in the pages table."""
+    from ..parsers import listing
+
+    site = _frontier_site()
+    html = site[_SITE_START]
+    html = html if isinstance(html, str) else html.decode("utf-8")
+    meta = listing.extract_pagination_meta(_SITE_START, html, _SITE_START)
+    seen, links = set(), []
+    for item in meta["links"]:
+        u = item["url"]
+        if u != _SITE_START and u not in seen:
+            seen.add(u)
+            links.append(u)
+    base = _SITE_START.rsplit("/", 1)[0]
+    rows = [f"({_sql_str(_SITE_START)}, 0, NULL, true)"]
+    for pos, u in enumerate(links, start=1):
+        k = int(u.rsplit("_", 1)[1].split(".")[0])
+        p = _SITE_PRIORITIES.get(k)
+        rows.append(
+            f"({_sql_str(u)}, {pos}, {p if p is not None else 'NULL'}, "
+            f"{'true' if u in site else 'false'})"
+        )
+    vals = ", ".join(rows)
+    return f"""
+WITH disc(url, discovery_pos, prio, present) AS (VALUES {vals}),
+sched AS (
+  SELECT url, discovery_pos, present,
+         CASE WHEN discovery_pos = 0 THEN 0
+              ELSE ROW_NUMBER() OVER (
+                     PARTITION BY (discovery_pos = 0)
+                     ORDER BY COALESCE(prio, 0) DESC, discovery_pos ASC)
+         END AS round
+  FROM disc
+)
+SELECT url, CAST(round AS INT) AS round,
+       CAST(discovery_pos AS BIGINT) AS global_pos,
+       CASE WHEN present THEN 'fetched' ELSE 'missing' END AS status
+FROM sched
+"""
+
+
+PRIORITY_FRONTIER_SQL = _priority_frontier_oracle_sql()
+
+
 # --- URL canonicalization (frontier dedup key) --------------------------------
 
 # A 10^10-URL frontier dedups on a CANONICAL url, not the raw string — case
@@ -427,6 +516,7 @@ QUERIES = {
     "crawl_frontier_round": (crawl_frontier_round, CRAWL_FRONTIER_SQL),
     "search_topk": (search_topk, SEARCH_TOPK_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+    "priority_frontier_round": (priority_frontier_round, PRIORITY_FRONTIER_SQL),
 }
 
 

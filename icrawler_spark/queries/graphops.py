@@ -56,25 +56,28 @@ def _edges(docs, n):
     )
 
 
-def link_pagerank(spark, sf_dir):
-    """Fixed-iteration integer PageRank over the derived link graph.
+def pagerank_from_edges(nodes, edges, iterations: int = _ITERATIONS):
+    """Fixed-iteration integer PageRank over an arbitrary edge list.
 
-    Returns (node, rank_micro): the importance score a frontier scheduler
-    would ORDER BY. Exact-integer arithmetic end to end.
+    ``nodes`` is a 1-column DataFrame of node ids, ``edges`` has (src, dst)
+    with src/dst drawn from nodes. Returns (node, rank_micro) in exact
+    integer micro-units — partition-order independent, so usable directly
+    as a ``CrawlEngine(priority_df=...)`` score source after renaming.
+
+    Scale notes: one shuffle per iteration (ranks onto the static pinned
+    edge list + map-side-combined groupBy(dst)); lineage pinned every
+    _CHECKPOINT_EVERY iterations.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()  # one scalar job; the oracle uses COUNT(*) identically
-
-    edges = _edges(docs, n)
+    node_col = nodes.columns[0]
+    nodes = nodes.select(F.col(node_col).alias("node"))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # static per-iteration join side, computed once and pinned
     edges_deg = edges.join(deg, "src").localCheckpoint()
 
-    ranks = docs.select(
-        F.col("doc_id").alias("node"),
-        F.lit(_INIT_MICRO).cast("long").alias("rank_micro"),
+    ranks = nodes.select(
+        "node", F.lit(_INIT_MICRO).cast("long").alias("rank_micro")
     )
-    for it in range(_ITERATIONS):
+    for it in range(iterations):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
@@ -85,17 +88,28 @@ def link_pagerank(spark, sf_dir):
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            docs.join(contribs, docs["doc_id"] == contribs["dst"], "left")
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
-                F.col("doc_id").alias("node"),
+                "node",
                 (F.lit(_BASE_MICRO) + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("rank_micro"),
             )
         )
-        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < _ITERATIONS:
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def link_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank over the derived link graph.
+
+    Returns (node, rank_micro): the importance score a frontier scheduler
+    would ORDER BY. Exact-integer arithmetic end to end.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar job; the oracle uses COUNT(*) identically
+    return pagerank_from_edges(docs, _edges(docs, n))
 
 
 def _pagerank_sql() -> str:

@@ -67,6 +67,61 @@ def test_paragraph_dedup_first_wins_and_reassembly(spark):
     assert out[1]["clean_text"] == "own words"
 
 
+def test_importance_ordered_crawl_end_to_end(spark):
+    """The full loop the north_star describes: extract the site's link
+    graph, compute integer PageRank over it, feed the scores back as the
+    frontier priority — the engine must fetch the most-linked-to pages
+    first under a politeness budget."""
+    from icrawler_spark.crawl import (
+        CrawlConfig,
+        CrawlEngine,
+        build_site,
+        site_pages_df,
+    )
+    from icrawler_spark.parsers import listing
+    from icrawler_spark.queries.graphops import pagerank_from_edges
+
+    site = build_site(n_pages=4, entries_per_page=2)
+    start = "https://www.example.test/list/index.html"
+    # drop index_3 from every pagination bar except index_2's "next" link:
+    # it then has strictly fewer in-links than the others → lowest PageRank
+    pruned = {
+        u: (
+            c.replace("<a href='/list/index_3.html'>4</a>", "")
+            if isinstance(c, str)
+            else c
+        )
+        for u, c in site.items()
+    }
+    edges = []
+    for u, c in sorted(pruned.items()):
+        html = c if isinstance(c, str) else c.decode("utf-8")
+        meta = listing.extract_pagination_meta(u, html, start)
+        edges.extend((u, item["url"]) for item in meta["links"])
+    edges_df = spark.createDataFrame(edges, "src string, dst string").distinct()
+    nodes_df = spark.createDataFrame(
+        [(u,) for u in sorted(pruned)], "url string"
+    )
+    pr = pagerank_from_edges(nodes_df, edges_df)
+    scores = {r["node"]: r["rank_micro"] for r in pr.collect()}
+    idx = {k: scores[f"https://www.example.test/list/index_{k}.html"] for k in (1, 2, 3)}
+    assert idx[3] < idx[1] and idx[3] < idx[2]  # fewest in-links → lowest
+
+    eng = CrawlEngine(
+        spark,
+        site_pages_df(spark, pruned),
+        CrawlConfig(start_url=start, max_rounds=30, host_budget=1),
+        priority_df=pr.select(F.col("node").alias("url"), F.col("rank_micro").alias("priority")),
+    )
+    eng.run()
+    order = eng.crawl_order()
+    # index_3 (lowest importance) is fetched after the other listing pages
+    assert order[0] == start
+    assert order.index("https://www.example.test/list/index_3.html") > max(
+        order.index(f"https://www.example.test/list/index_{k}.html") for k in (1, 2)
+    )
+
+
 def test_url_canonicalize_rules(spark):
     cases = [
         ("HTTP://Host1.EXAMPLE.com:80/a//b/?z=1&a=2#frag",

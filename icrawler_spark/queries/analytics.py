@@ -569,6 +569,48 @@ FROM per
 """
 
 
+def latest_snapshot(spark, sf_dir):
+    """Latest-snapshot collapse over a multi-snapshot fetch log — the query
+    twin of ``crawl.sources.latest_snapshot_view`` (a Common-Crawl-style
+    pages table carries one row per (url, warc_ts); consumers read one row
+    per url, the newest). The ``events`` table stands in as the log:
+    user_id = page, ts = snapshot time, props = content at that snapshot.
+
+    Deterministic pick: row_number over (ts DESC, event_id DESC) — a total
+    order even under timestamp ties, identical in both engines.
+
+    Scale notes: one window shuffle on the page key; at 10^10 rows this is
+    the standard MAX-timestamp-per-key pattern AQE handles with skew
+    splitting (hot pages with many snapshots).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias("url_id"),
+            F.col("event_id").alias("latest_event_id"),
+            F.col("props").alias("latest_props"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        )
+    )
+
+
+LATEST_SNAPSHOT_SQL = """
+SELECT user_id AS url_id, event_id AS latest_event_id, props AS latest_props,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 SESSIONIZE_SQL = """
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
@@ -631,4 +673,5 @@ QUERIES = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "hourly_rollup": (hourly_rollup, HOURLY_ROLLUP_SQL),
     "recrawl_schedule": (recrawl_schedule, RECRAWL_SCHEDULE_SQL),
+    "latest_snapshot": (latest_snapshot, LATEST_SNAPSHOT_SQL),
 }

@@ -89,12 +89,35 @@ def main() -> None:
         links_per_page=args.links_per_page,
         filler_paragraphs=args.filler_paragraphs,
     )
+    # manifest: the on-disk bucket layout + corpus-generation params. Reuse
+    # must verify against this, not trust the CLI flags — a rerun passing a
+    # different --bucketed-pages than the original write would register a
+    # bucket spec that disagrees with the physical layout, and the bucketed
+    # fetch join would silently pair wrong buckets.
+    corpus_manifest = {
+        "bucketed_pages": args.bucketed_pages,
+        "pages": args.pages,
+        "links_per_page": args.links_per_page,
+        "filler_paragraphs": args.filler_paragraphs,
+    }
     if args.bucketed_pages and args.reuse_bucketed_table:
         # a previous run already paid the layout cost: register the existing
         # bucket files with a fresh metastore via bucketed DDL
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         loc = os.path.join(wh.removeprefix("file:"), "pages_bucketed")
         assert os.path.isdir(loc), f"no reusable bucketed table at {loc}"
+        mpath = loc + "_manifest.json"
+        assert os.path.exists(mpath), (
+            f"no manifest at {mpath} — table predates the manifest check; "
+            "rewrite it (drop --reuse-bucketed-table) before reusing"
+        )
+        with open(mpath) as fh:
+            on_disk = json.load(fh)
+        assert on_disk == corpus_manifest, (
+            "bucketed-table manifest mismatch — the existing table was "
+            f"written with {on_disk}, this run asked for {corpus_manifest}; "
+            "rewrite the table or pass the original params"
+        )
         if not spark.catalog.tableExists("pages_bucketed"):
             # fresh metastore, existing bucket files: register them external.
             # NEVER DROP here — the previous run's table is managed, and a
@@ -128,6 +151,9 @@ def main() -> None:
             .mode("overwrite")
             .saveAsTable("pages_bucketed")
         )
+        loc = os.path.join(wh.removeprefix("file:"), "pages_bucketed")
+        with open(loc + "_manifest.json", "w") as fh:
+            json.dump(corpus_manifest, fh)
         pages = spark.table("pages_bucketed")
     else:
         pages = pages.repartition(args.cpus * 2).persist(StorageLevel.MEMORY_AND_DISK)

@@ -177,9 +177,16 @@ class CrawlEngine:
         self.cfg = config
         self.robots_rules = robots_rules
         self._seeds_df = seeds_df
-        # pin once: joined against pending every round
+        # pin once: joined against pending every round. Aggregated to one row
+        # per url first — a caller-supplied score table with duplicate urls
+        # would otherwise fan pending rows out through the per-round left
+        # join (duplicate batch/visited rows, one url eating several host-
+        # budget slots), breaking the "reorders rounds, never drops/dups"
+        # contract. max(priority) wins, matching the join's usefulness order.
         self._priority_df = (
             priority_df.select("url", F.col("priority").cast("long").alias("priority"))
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
             .localCheckpoint(eager=True)
             if priority_df is not None
             else None

@@ -233,10 +233,13 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     window expression can close over (a window formula misses the
     literal-equals-earlier-assigned collision, e.g. batch
     [(A, None), (B, 1)] must yield A=1, B=2). The conflict path runs as one
-    Arrow group walk over the fresh rows: entries per round are listing rows
-    (10^3-10^4), the same cost class as the global window it replaces —
-    never the URL frontier. Static facts (membership in existing serials,
-    existing max) are still computed relationally and fed in as columns.
+    Arrow group walk PER TASK over the fresh rows — serial uniqueness in the
+    reference is per state file, i.e. per task (ref state.py:368-381), so
+    tasks are independent serial spaces and walk in parallel; entries per
+    task per round are listing rows (10^3-10^4), the same cost class as the
+    global window it replaces — never the URL frontier. Static facts
+    (membership in the task's existing serials, the task's existing max) are
+    still computed relationally and fed in as columns.
 
     batch: (entry_id, task, serial, title, remark, _src_pos)."""
     b = batch
@@ -263,15 +266,22 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
             )
         )
         fresh = b.join(e.select("entry_id"), "entry_id", "left_anti")
-        taken = e.select("serial").where(F.col("serial").isNotNull()).distinct()
+        # serial uniqueness is PER STATE FILE in the reference — one file per
+        # task (ref state.py:368-381) — so both the taken-set and the running
+        # max are task-scoped, not global
+        taken = e.select("task", "serial").where(F.col("serial").isNotNull()).distinct()
         fresh = fresh.join(
-            taken.withColumn("_taken", F.lit(True)), "serial", "left"
+            taken.withColumn("_taken", F.lit(True)), ["task", "serial"], "left"
         )
         e_max = None  # joined below
 
     if existing is not None:
-        max_serial = existing.agg(F.coalesce(F.max("serial"), F.lit(0)).alias("_emax"))
-        fresh = fresh.crossJoin(F.broadcast(max_serial))
+        max_serial = existing.groupBy("task").agg(
+            F.coalesce(F.max("serial"), F.lit(0)).alias("_emax")
+        )
+        fresh = fresh.join(F.broadcast(max_serial), "task", "left").withColumn(
+            "_emax", F.coalesce(F.col("_emax"), F.lit(0))
+        )
     else:
         fresh = fresh.withColumn("_taken", F.lit(None).cast("boolean")).withColumn(
             "_emax", F.lit(0)
@@ -305,13 +315,12 @@ def merge_entries(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
         pdf = pdf.assign(serial=pd.Series(out, dtype="int32"))
         return pdf[["entry_id", "task", "serial", "title", "remark"]]
 
-    inserted = (
-        fresh.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(
-            _serial_walk,
-            "entry_id string, task string, serial int, title string, remark string",
-        )
+    # one Arrow group PER TASK (the reference's serial space is the state
+    # file = the task): tasks walk in parallel, and no single executor ever
+    # holds more than one task's listing rows (10^3-10^4 each)
+    inserted = fresh.groupBy("task").applyInPandas(
+        _serial_walk,
+        "entry_id string, task string, serial int, title string, remark string",
     )
     if updated is None:
         return inserted

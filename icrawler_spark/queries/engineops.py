@@ -401,7 +401,14 @@ PRIORITY_FRONTIER_SQL = _priority_frontier_oracle_sql()
 
 
 def _canonicalize_url(u):
-    """RFC-3986-style normalization as a Column expression chain."""
+    """RFC-3986-style normalization as a Column expression chain.
+
+    Guarded: scheme-relative / scheme-less input (no ``scheme://`` prefix)
+    is returned unchanged rather than collapsed onto a degenerate
+    ``://``-prefixed key that would silently merge distinct URLs — the
+    frontier resolves relative links against their page before they ever
+    reach the dedup key, so a non-absolute url here means "not ours to
+    normalize", not "normalize harder"."""
     u1 = F.regexp_replace(u, r"#.*$", "")  # strip fragment
     scheme = F.lower(F.regexp_extract(u1, r"^([^:/?#]+)://", 1))
     auth = F.lower(F.regexp_extract(u1, r"^[^:/?#]+://([^/?#]*)", 1))
@@ -418,7 +425,9 @@ def _canonicalize_url(u):
     qnorm = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
     )
-    return F.concat(scheme, F.lit("://"), auth, path, qnorm)
+    return F.when(
+        scheme == "", u
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, path, qnorm))
 
 
 def url_canonicalize(spark, sf_dir):

@@ -98,6 +98,33 @@ def test_priority_frontier_reorders_under_budget(spark, site, pages):
     assert all(r["count"] <= 1 for r in per_round)  # budget still respected
 
 
+def test_priority_frontier_duplicate_scores_no_fanout(spark, site, pages):
+    """A score table with DUPLICATE urls must not fan out pending rows
+    through the per-round left join (ADVICE r3): the engine aggregates to
+    one row per url at pin time (max priority wins), so visited has no
+    duplicate rows and no url consumes more than one host-budget slot."""
+    base = "https://www.example.test/list"
+    rows = [(f"{base}/index_{k}.html", k) for k in (1, 2, 3)]
+    dup = spark.createDataFrame(
+        rows + [(u, p - 10) for u, p in rows] + rows,  # 3 rows per url
+        "url string, priority long",
+    )
+    cfg = CrawlConfig(start_url=START, max_rounds=30, host_budget=1)
+    eng = CrawlEngine(spark, pages, cfg, priority_df=dup)
+    eng.run()
+    # identical outcome to the clean 1-row-per-url score table (max wins)
+    assert eng.crawl_order() == [
+        START,
+        f"{base}/index_3.html",
+        f"{base}/index_2.html",
+        f"{base}/index_1.html",
+    ]
+    visited = eng.visited.collect()
+    assert len(visited) == len({r.url for r in visited})  # no dup rows
+    per_round = eng.visited.groupBy("round").count().collect()
+    assert all(r["count"] <= 1 for r in per_round)  # budget still respected
+
+
 def test_priority_frontier_default_is_fifo(spark, site, pages):
     """No priority_df (or all-equal scores) ⇒ exactly the reference FIFO."""
     prio = spark.createDataFrame(

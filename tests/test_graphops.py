@@ -138,6 +138,25 @@ def test_url_canonicalize_rules(spark):
     assert got == [c[1] for c in cases]
 
 
+def test_url_canonicalize_non_absolute_passthrough(spark):
+    """Scheme-relative / scheme-less input must NOT collapse onto a
+    degenerate '://'-prefixed key (ADVICE r3): distinct non-absolute urls
+    stay distinct — returned unchanged."""
+    cases = [
+        "//cdn.example.com/a/b",
+        "/relative/path?b=2&a=1",
+        "relative.html",
+        "mailto:someone@example.com",  # scheme but no ://
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [
+        r["c"]
+        for r in df.select(_canonicalize_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == cases
+
+
 def test_url_canonicalize_idempotent_and_grouped(spark):
     roll = url_canonicalize(spark, SF_DIR)
     # canonicalizing a canonical url is a no-op

@@ -185,6 +185,86 @@ def test_literal_serial_equal_to_batch_assigned_is_reassigned(spark):
     assert len(all_serials) == len(set(all_serials))
 
 
+def test_serial_walk_is_per_task(spark):
+    """Serial uniqueness is per state FILE in the reference — one file per
+    task (ref state.py:368-381). A multi-task batch must walk each task's
+    serial space independently: the reference model is one PBCState per
+    task, and the Spark walk (groupBy("task").applyInPandas) must match
+    each, including in-batch conflicts that collide only WITHIN a task."""
+    per_task_events = {
+        # A: (None → 1), (1 collides with just-assigned → 2)
+        "A": [
+            {"serial": None, "title": "A1", "remark": "", "documents": [("pdf", "http://a/1.pdf", "")]},
+            {"serial": 1, "title": "A2", "remark": "", "documents": [("pdf", "http://a/2.pdf", "")]},
+        ],
+        # B: (None → 1), (2 clean → 2), (2 in-batch dup → 3)
+        "B": [
+            {"serial": None, "title": "B1", "remark": "", "documents": [("pdf", "http://b/1.pdf", "")]},
+            {"serial": 2, "title": "B2", "remark": "", "documents": [("pdf", "http://b/2.pdf", "")]},
+            {"serial": 2, "title": "B3", "remark": "", "documents": [("pdf", "http://b/3.pdf", "")]},
+        ],
+    }
+    second_round = {
+        # A on non-empty state: None → max(2)+1 = 3
+        "A": [{"serial": None, "title": "A3", "remark": "", "documents": [("pdf", "http://a/3.pdf", "")]}],
+        # B: literal 1 taken by B's round-1 → max(3)+1 = 4
+        "B": [{"serial": 1, "title": "B4", "remark": "", "documents": [("pdf", "http://b/4.pdf", "")]}],
+        # C (brand-new task): literal 5 is clean IN C — a global taken-set
+        # would bump it (1,2 exist in A/B); per-task keeps it
+        "C": [{"serial": 5, "title": "C1", "remark": "", "documents": [("pdf", "http://c/1.pdf", "")]}],
+    }
+
+    refs = {}
+    for task in ("A", "B", "C"):
+        refs[task] = _ref_apply(
+            per_task_events.get(task, []) + second_round.get(task, [])
+        )
+
+    def batch_df(events_by_task, pos0):
+        rows, pos = [], pos0
+        for task, evs in sorted(events_by_task.items()):
+            for ev in evs:
+                rows.append(
+                    (task, f"page://{pos}", 0, ev.get("serial"), ev.get("title"),
+                     ev.get("remark"), [(d[0], d[1], d[2]) for d in ev["documents"]], pos)
+                )
+                pos += 1
+        return spark.createDataFrame(
+            rows,
+            "task string, page_url string, entry_pos int, serial int, title string, "
+            "remark string, documents array<struct<doc_type:string,url:string,title:string>>, "
+            "_src_pos long",
+        ), pos
+
+    entries = documents = None
+    pos = 0
+    for batch in (per_task_events, second_round):
+        ne, pos = batch_df(batch, pos)
+        with_ids = resolve_entry_identity(ne, documents)
+        be = with_ids.select("entry_id", "task", "serial", "title", "remark", "_src_pos")
+        bd = (
+            with_ids.select("entry_id", "_src_pos", F.posexplode("documents").alias("_p", "_d"))
+            .select("entry_id", F.col("_d.url").alias("url"), F.col("_d.doc_type").alias("doc_type"),
+                    F.col("_d.title").alias("title"), (F.col("_src_pos") * 1000 + F.col("_p")).alias("_src_pos"))
+        )
+        entries = merge_entries(entries, be).localCheckpoint(eager=True)
+        documents = merge_documents(documents, bd).localCheckpoint(eager=True)
+
+    got = {(r.task, r.title): r.serial for r in entries.collect()}
+    want = {}
+    for task, st in refs.items():
+        for e in st.entries.values():
+            want[(task, e.get("title") or "")] = e.get("serial")
+    assert got == want
+    assert got[("A", "A1")] == 1 and got[("B", "B1")] == 1  # independent spaces
+    assert got[("B", "B4")] == 4
+    assert got[("C", "C1")] == 5  # global taken-set would have bumped this
+    # per-task uniqueness invariant
+    for task in ("A", "B", "C"):
+        s = [v for (t, _), v in got.items() if t == task]
+        assert len(s) == len(set(s))
+
+
 def test_mark_downloaded_upsert_parity(spark):
     """downloaded only upgrades; empty title/path never overwrite (ref
     state.py:164-228 file-record semantics)."""

@@ -132,8 +132,22 @@ class _Handler(BaseHTTPRequestHandler):
                     200, self.service.search_payload(query, topk, include)
                 )
             if path == "/policies":
+                # limit/offset are extension params (the reference route has
+                # no pagination): they bound the driver transfer explicitly
+                # on large catalogs, and omitted they reproduce the
+                # reference's whole-catalog contract byte-for-byte
+                try:
+                    limit = int(one["limit"]) if "limit" in one else None
+                    offset = int(one.get("offset", 0))
+                    if (limit is not None and limit < 0) or offset < 0:
+                        raise ValueError
+                except ValueError:
+                    return self._bad("Invalid 'limit' or 'offset' parameter")
                 return self._send(
-                    200, self.service.policies_payload(one.get("query") or None)
+                    200,
+                    self.service.policies_payload(
+                        one.get("query") or None, max_entries=limit, offset=offset
+                    ),
                 )
             if path.startswith("/policies/"):
                 policy_id = unquote(path[len("/policies/"):])

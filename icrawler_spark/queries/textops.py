@@ -717,8 +717,13 @@ def simhash_pairs_from_signatures(sig):
 
 def simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup: pairs with Hamming distance ≤ 6 over the 48-bit
-    signature, via the exact block-and-flip pigeonhole candidate scheme."""
-    return simhash_pairs_from_signatures(simhash(spark, sf_dir))
+    signature, via the exact block-and-flip pigeonhole candidate scheme.
+
+    The signature feeds BOTH sides of the block-key self-join — pinned so
+    the 48-bit vote fold runs once per document, not once per side."""
+    return simhash_pairs_from_signatures(
+        simhash(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 _SIMHASH_BLOCKS_SQL = ", ".join(f"({i}, {off})" for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS))

@@ -256,15 +256,19 @@ class PolicyService:
         return response
 
     def policies_payload(self, query: str | None = None,
-                         max_entries: int | None = None) -> dict:
+                         max_entries: int | None = None,
+                         offset: int = 0) -> dict:
         """GET /policies (ref api_server.py:269-289): keyword filter or the
         full catalog sorted by normalized title.
 
         The no-query route returns the WHOLE catalog — the reference's
         contract, fine at its ~10^3 entries. That is a driver transfer: at a
-        100× catalog pass ``max_entries`` to bound it (the sorted read
-        streams through ``toLocalIterator`` so the driver holds at most the
-        page, mirroring how a real deployment would paginate this route)."""
+        100× catalog the ``offset``/``max_entries`` page is the explicit
+        boundary — the sorted read streams through ``toLocalIterator`` and
+        the driver holds AT MOST one page (offset rows are skipped without
+        being retained), never the catalog. Deterministic paging: the sort
+        key is (display title, entry_id) — a total order, so pages never
+        overlap or skip under re-execution."""
         if query:
             rows = keyword_search(self.index, self.texts, query).collect()
             ids = [r.entry_id for r in rows]
@@ -273,13 +277,17 @@ class PolicyService:
             entries = [by_id[i] for i in ids if i in by_id]
         else:
             ordered = self.index.orderBy(
-                F.when(F.col("norm_title") != "", F.col("norm_title")).otherwise(F.col("title"))
+                F.when(F.col("norm_title") != "", F.col("norm_title")).otherwise(F.col("title")),
+                F.col("entry_id"),
             )
-            if max_entries is not None:
-                entries = []
+            if max_entries is not None or offset:
+                entries, skipped = [], 0
                 for r in ordered.toLocalIterator():
+                    if skipped < offset:
+                        skipped += 1
+                        continue
                     entries.append(r)
-                    if len(entries) >= max_entries:
+                    if max_entries is not None and len(entries) >= max_entries:
                         break
             else:
                 entries = ordered.collect()
@@ -289,6 +297,8 @@ class PolicyService:
         }
         if query:
             payload["query"] = query
+        if offset:
+            payload["offset"] = offset
         return payload
 
     def policy_payload(self, policy_id, include=None) -> dict:

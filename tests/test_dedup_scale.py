@@ -236,6 +236,79 @@ def test_ngram_jaccard_measured_recall(spark):
     assert recall >= 0.92, f"measured recall {recall:.3f} < documented 0.92"
 
 
+def test_ann_lsh_topk_measured_recall(spark):
+    """Multi-probe ``ann_lsh_topk`` recall@10 vs brute-force ground truth,
+    on both corpus classes (deterministic seeds ⇒ exact numbers):
+
+    - planted neighbors at cosine ∈ [0.985, 0.999]: mean 0.86 over 10
+      queries (single-bucket measured 0.58 on the same corpus);
+    - the unstructured sf0.001 embeddings, whose "nearest" neighbors sit at
+      cosine ≈ 0.4: mean 0.175 over 20 queries — the analytic
+      P(Hamming ≤ 1) ≈ 0.15 value, documented as a data property
+      (single-bucket: 0.045).
+    """
+    from icrawler_spark.queries.simsearch import _vec, ann_lsh_topk_from_vectors
+
+    rng = np.random.RandomState(11)
+    n_bg, n_q, k = 2000, 10, 10
+    rows, queries, vid = [], [], 0
+    bg = rng.randn(n_bg, 64)
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    for i in range(n_bg):
+        rows.append((vid, bg[i].tolist()))
+        vid += 1
+    for _ in range(n_q):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        qid = vid
+        rows.append((qid, v.tolist()))
+        vid += 1
+        for _ in range(k):
+            g = rng.randn(64)
+            g -= (g @ v) * v
+            g /= np.linalg.norm(g)
+            c = 0.985 + 0.014 * rng.rand()
+            w = c * v + np.sqrt(1 - c * c) * g
+            rows.append((vid, w.tolist()))
+            vid += 1
+        queries.append(qid)
+
+    def recall_over(e, ids, V, qids, k=10):
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rec = []
+        for qid in qids:
+            qv = Vn[ids == qid][0]
+            cos = Vn @ qv
+            mask = ids != qid
+            bf = {int(x) for _, x in sorted(zip(-cos[mask], ids[mask]))[:k]}
+            got = {
+                r.vec_id
+                for r in ann_lsh_topk_from_vectors(e, query_vec_id=qid, k=k).collect()
+            }
+            rec.append(len(bf & got) / k)
+        return sum(rec) / len(rec)
+
+    e = _with_buckets(spark, rows).localCheckpoint(eager=True)
+    mean_planted = recall_over(
+        e, np.array([r[0] for r in rows]), np.array([r[1] for r in rows]), queries, k
+    )
+    assert mean_planted >= 0.85, f"planted recall {mean_planted:.3f} < 0.85"
+
+    e2 = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    r2 = e2.select("vec_id", "v").collect()
+    mean_flat = recall_over(
+        e2, np.array([r.vec_id for r in r2]), np.array([r.v for r in r2]),
+        list(range(20)),
+    )
+    # honest data-property gate: ≈ the analytic 0.15, far above the 0.045
+    # the exact-bucket join measured — a probe regression would drop this
+    assert mean_flat >= 0.15, f"unstructured recall {mean_flat:.3f} < 0.15"
+
+
 def test_minhash_lsh_measured_recall(spark):
     """Every true J ≥ 0.8 pair must surface in minhash_lsh_pairs (band hit
     prob ≥ 0.92 at the J=0.8 threshold; measured 1.0 on sf0.001)."""

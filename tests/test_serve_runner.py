@@ -93,6 +93,45 @@ def test_policies_with_query(service):
     assert data["query"] == "银行卡"
 
 
+def test_policies_pagination_bounds_driver_transfer(spark):
+    """VERDICT r3 item 9: at a 100× catalog the no-query route must have an
+    explicit driver-transfer boundary. offset/max_entries pages stream via
+    toLocalIterator (driver holds one page), pages are disjoint, ordered,
+    and cover the catalog exactly."""
+    n = 12_000
+    entries = spark.range(n).selectExpr(
+        "concat('e', lpad(cast(id as string), 6, '0')) as entry_id",
+        "'t' as task",
+        "cast(id + 1 as int) as serial",
+        "concat('规定第', lpad(cast(id as string), 6, '0'), '号') as title",
+        "'' as remark",
+    )
+    documents = spark.createDataFrame(
+        [("e000000", "http://x/0.html", "html", "t", 0)],
+        "entry_id string, url string, doc_type string, title string, _src_pos long",
+    )
+    svc = PolicyService.from_state(entries, documents, None)
+    page_size = 5_000
+    seen, pages = [], 0
+    while True:
+        data = svc.policies_payload(max_entries=page_size, offset=pages * page_size)
+        got = [p["id"] for p in data["policies"]]
+        if pages * page_size < n:
+            assert data["result_count"] == min(page_size, n - pages * page_size)
+            assert data["result_count"] <= page_size  # driver bound
+        if pages:
+            assert data.get("offset") == pages * page_size
+        seen.extend(got)
+        pages += 1
+        if len(got) < page_size:
+            break
+    assert len(seen) == n and len(set(seen)) == n  # disjoint + complete
+    assert seen == sorted(seen)  # total order across pages
+    # middle page starts exactly where the previous ended (no overlap/skip)
+    mid = svc.policies_payload(max_entries=3, offset=7)["policies"]
+    assert [p["id"] for p in mid] == seen[7:10]
+
+
 def test_policy_meta_text_outline(service):
     """ref test_get_policy_meta/text/outline: id lookup by serial; include
     switches; outline nests article → items."""

@@ -18,6 +18,7 @@ regenerate them locally — nothing random, nothing shipped.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import load
@@ -41,7 +42,12 @@ def _dot(a, b):
 
 
 def _cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """NULL (not an ANSI DIVIDE_BY_ZERO throw) for zero-norm vectors: a NULL
+    cosine sorts last under desc ordering and fails every >= threshold, so
+    degenerate vectors drop out of top-k and dup-pair results instead of
+    killing the job. The SQL twin mirrors with an explicit CASE (DuckDB
+    would return inf, not error)."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 # DuckDB twins: products via index transform (1-based), sequential list_reduce.
@@ -55,7 +61,8 @@ def _dot_sql(a, b):
 
 
 def _cosine_sql(a, b):
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    den = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    return f"(CASE WHEN {den} = 0 THEN NULL ELSE {_dot_sql(a, b)} / {den} END)"
 
 
 _VEC_SQL = "CAST({c} AS DOUBLE[])"
@@ -517,3 +524,237 @@ LIMIT 10
 """
 
 QUERIES["ivf_topk"] = (ivf_topk, IVF_TOPK_SQL)
+
+
+# --- deterministic k-means IVF (VERDICT r3 item 2) -----------------------------
+#
+# ``ivf_assign``/``ivf_topk`` quantize on the label column — which carries no
+# geometric signal on this corpus, so their recall is honest-but-weak. The
+# k-means quantizer below earns IVF recall from the VECTORS alone:
+# fixed-iteration Lloyd's with a seeded, order-pinned init (the vector with
+# min vec_id in each ``vec_id % k`` stratum), centroids recomputed each round
+# via the same two-level exact fold as ``label_centroids`` — everything
+# deterministic and engine-exact, so the DuckDB oracle unrolls the identical
+# iterations and the hash gate is value-exact, no tolerance.
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+_KMEANS_NPROBE = 6
+
+
+def _assign_to_centroids(vecs, cent):
+    """(vec_id, v) × (cluster_id, cvec) → nearest-centroid assignment by
+    squared L2, ties to the smaller cluster_id. The centroid table is k rows
+    — broadcast; one map-side pass over the vectors."""
+    pairs = vecs.select("vec_id", "v").crossJoin(F.broadcast(cent))
+    d2 = _fold_sum(F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)))
+    pick = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+    return (
+        pairs.select("vec_id", "v", "cluster_id", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "v", "cluster_id")
+    )
+
+
+def _mean_centroids(assigned):
+    """Exact per-cluster means via the two-level fold (bit-identical to
+    ``label_centroids_from_vectors`` with cluster_id as the label)."""
+    means = label_centroids_from_vectors(
+        assigned.select(F.col("cluster_id").alias("label"), "vec_id", "v")
+    )
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "value"))).alias("cv"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.transform(F.col("cv"), lambda x: x["value"]).alias("cvec"),
+        )
+    )
+
+
+def kmeans_centroids_df(vecs, k=_KMEANS_K, iters=_KMEANS_ITERS):
+    """Deterministic Lloyd's: ``iters`` fixed rounds, no convergence check
+    (a data-dependent round count would make the plan nondeterministic).
+    Empty-cluster rule: a cluster that loses all members keeps its previous
+    centroid. Each round is one broadcast-assign pass + one two-level-fold
+    aggregation, pinned — the ``link_pagerank`` iteration pattern. Returns
+    (cluster_id, cvec)."""
+    w = Window.partitionBy("_j").orderBy("vec_id")
+    cent = (
+        vecs.withColumn("_j", (F.col("vec_id") % k).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("_j").alias("cluster_id"), F.col("v").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign_to_centroids(vecs, cent)
+        new = _mean_centroids(assigned)
+        cent = (
+            cent.select("cluster_id", F.col("cvec").alias("_prev"))
+            .join(new, "cluster_id", "left")
+            .select("cluster_id", F.coalesce("cvec", "_prev").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_kmeans(spark, sf_dir):
+    """K-means IVF index build: the final centroids (exploded to one row per
+    dimension, with final cluster sizes) after ``_KMEANS_ITERS`` Lloyd
+    rounds on the raw vectors — no label column anywhere. Scale shape: each
+    round broadcasts k centroid rows and makes one map-side pass + one
+    fixed-fan-in aggregation over the vectors; 4 rounds = 4 bounded passes,
+    never an all-pairs anything."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    cent = kmeans_centroids_df(vecs)
+    sizes = (
+        _assign_to_centroids(vecs, cent)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        cent.join(sizes, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.posexplode("cvec").alias("dim0", "value"),
+        )
+        .select("cluster_id", "n", (F.col("dim0") + 1).cast("long").alias("dim"), "value")
+    )
+
+
+def _kmeans_sql_prefix(k=_KMEANS_K, iters=_KMEANS_ITERS):
+    """Unrolled-CTE oracle for the fixed-iteration Lloyd loop (the
+    ``link_pagerank`` oracle pattern): it0 = order-pinned init, then per
+    round an assignment CTE + a chunked two-level-fold mean CTE + an
+    empty-cluster coalesce CTE — exactly the Spark semantics, value-exact."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+        "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), (s, x) -> s + x)"
+    ).format(n=_DIM + 1)
+    parts = [
+        f"ev AS (SELECT vec_id, {_VEC_SQL.format(c='embedding')} AS v FROM embeddings)",
+        f"""it0 AS (
+  SELECT cluster_id, cvec FROM (
+    SELECT vec_id % {k} AS cluster_id, v AS cvec,
+           ROW_NUMBER() OVER (PARTITION BY vec_id % {k} ORDER BY vec_id) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"it{t - 1}"
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+    FROM ev e, {prev} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""m{t} AS (
+  SELECT cluster_id,
+         list_transform(range(1, {_DIM + 1}), i ->
+           list_reduce(list_prepend(0.0, list_transform(ps, p -> p[i])), (s, y) -> s + y) / n) AS cvec
+  FROM (
+    SELECT cluster_id, list(psum ORDER BY ck) AS ps, SUM(cn) AS n
+    FROM (
+      SELECT cluster_id, ck, cn,
+             list_transform(range(1, {_DIM + 1}), i ->
+               list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])), (s, y) -> s + y)) AS psum
+      FROM (SELECT cluster_id, vec_id // {_CENTROID_CHUNK} AS ck,
+                   list(v ORDER BY vec_id) AS vs, COUNT(*) AS cn
+            FROM a{t} GROUP BY cluster_id, vec_id // {_CENTROID_CHUNK})
+    ) GROUP BY cluster_id
+  )
+)""")
+        parts.append(
+            f"it{t} AS (SELECT i.cluster_id, COALESCE(m.cvec, i.cvec) AS cvec "
+            f"FROM {prev} i LEFT JOIN m{t} m USING (cluster_id))"
+        )
+    # final assignment against the final centroids (sizes / candidate lists)
+    parts.append(f"""afin AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+    FROM ev e, it{iters} c
+  ) WHERE rn = 1
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+IVF_KMEANS_SQL = f"""{_kmeans_sql_prefix()}
+SELECT c.cluster_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n, i AS dim, c.cvec[i] AS value
+FROM it{_KMEANS_ITERS} c
+LEFT JOIN (SELECT cluster_id, COUNT(*) AS n FROM afin GROUP BY cluster_id) s USING (cluster_id),
+     (SELECT unnest(range(1, {_DIM + 1})) AS i)
+"""
+
+QUERIES["ivf_kmeans"] = (ivf_kmeans, IVF_KMEANS_SQL)
+
+
+def ivf_kmeans_topk_df(vecs, query_vec_id=0, nprobe=_KMEANS_NPROBE, k=10):
+    """K-means IVF search core: probe the query's ``nprobe`` nearest
+    centroids, re-rank that candidate fraction by exact cosine."""
+    cent = kmeans_centroids_df(vecs)
+    q = vecs.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    qd2 = _fold_sum(F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cluster_id", qd2.alias("qd2"))
+        .orderBy(F.asc("qd2"), F.asc("cluster_id"))
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    cand = (
+        _assign_to_centroids(vecs, cent)
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes), "cluster_id", "left_semi")
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_kmeans_topk(spark, sf_dir):
+    """IVF-flat ANN search over LEARNED (k-means) centroids — the completion
+    of the ANN story the label quantizer couldn't give (``ivf_topk``
+    docstring): no label column is read anywhere.
+
+    Recall is still a property of the data geometry: on clusterable vectors
+    nprobe=2 of 8 gives recall@10 ≥ 0.9 at ~25% scan
+    (tests/test_centroids.py); on THIS corpus — near-uniform on the sphere,
+    k-means inertia only 0.998 → 0.927 at k=8 — hitting the same 0.9 needs
+    nprobe=6 of 8 (~75% scan; measured mean recall@10 = 0.945 over 20
+    queries, gated in tests/test_centroids.py). That cost curve is the
+    honest IVF contract: the quantizer can only exploit structure that
+    exists. Scale shape identical to ``ivf_topk``: broadcast centroids +
+    probe list, candidate semi-join ≈ partition pruning over IVF list
+    files, TakeOrderedAndProject re-rank."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    return ivf_kmeans_topk_df(vecs)
+
+
+IVF_KMEANS_TOPK_SQL = f"""{_kmeans_sql_prefix()},
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+probes AS (
+  SELECT cluster_id
+  FROM it{_KMEANS_ITERS} c, q
+  ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM + 1}),
+    i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i]))), (s, x) -> s + x) ASC, cluster_id ASC
+  LIMIT {_KMEANS_NPROBE}
+)
+SELECT e.vec_id, {_cosine_sql('e.v', 'q.qv')} AS cosine
+FROM ev e, q
+WHERE e.vec_id <> 0
+  AND e.vec_id IN (SELECT vec_id FROM afin
+                   WHERE cluster_id IN (SELECT cluster_id FROM probes))
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+QUERIES["ivf_kmeans_topk"] = (ivf_kmeans_topk, IVF_KMEANS_TOPK_SQL)

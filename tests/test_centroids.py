@@ -125,6 +125,109 @@ def test_ivf_topk_measured_recall_on_clusterable_data(spark):
     assert recall >= 0.9, f"measured IVF recall {recall:.2f} < 0.9 on clusterable data"
 
 
+def test_ivf_kmeans_topk_recall_no_labels(spark):
+    """VERDICT r3 item 2 gate: k-means IVF recall@10 ≥ 0.9 on the sf0.001
+    embeddings WITHOUT the label column (mean over 20 queries; measured
+    0.945 at nprobe=6/k=8 — the honest ~75%-scan cost of 0.9 recall on a
+    near-uniform sphere). Centroids and assignment come from the real Spark
+    pipeline; the probe/re-rank math is mirrored in numpy per query, and
+    one full ``ivf_kmeans_topk_df`` call is checked against the simulation
+    exactly."""
+    import os
+
+    from icrawler_spark.queries.simsearch import (
+        _KMEANS_NPROBE,
+        _assign_to_centroids,
+        _vec,
+        ivf_kmeans_topk_df,
+        kmeans_centroids_df,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    vecs = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", _vec().alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    cent = kmeans_centroids_df(vecs)
+    assigned = {r.vec_id: r.cluster_id for r in _assign_to_centroids(vecs, cent).collect()}
+    C = {r.cluster_id: np.array(r.cvec) for r in cent.collect()}
+    rows = vecs.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.v for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ck = sorted(C)
+    CM = np.array([C[c] for c in ck])
+
+    def sim_topk(qid, k=10):
+        qv = V[ids == qid][0]
+        d2 = ((CM - qv) ** 2).sum(1)
+        probes = {ck[i] for i in np.lexsort((ck, d2))[:_KMEANS_NPROBE]}
+        cand = [i for i, vid in enumerate(ids) if vid != qid and assigned[int(vid)] in probes]
+        qn = qv / np.linalg.norm(qv)
+        cos_c = Vn[cand] @ qn
+        order = sorted(zip(-cos_c, [int(ids[c]) for c in cand]))
+        return [v for _, v in order[:k]]
+
+    rec = []
+    for qid in range(20):
+        got = set(sim_topk(qid))
+        qn = Vn[ids == qid][0]
+        mask = ids != qid
+        bf = {int(x) for _, x in sorted(zip(-(Vn[mask] @ qn), ids[mask]))[:10]}
+        rec.append(len(bf & got) / 10)
+    mean = sum(rec) / len(rec)
+    assert mean >= 0.9, f"k-means IVF recall {mean:.3f} < 0.9 without labels"
+    # end-to-end: the Spark pipeline for query 0 equals the simulation
+    e2e = [r.vec_id for r in ivf_kmeans_topk_df(vecs).collect()]
+    assert e2e == sim_topk(0), (e2e, sim_topk(0))
+
+
+def test_ivf_kmeans_clusterable_nprobe2(spark):
+    """On planted clusters the k-means quantizer earns cheap recall: with
+    nprobe=2 of 8 (~25% scan) recall@10 ≥ 0.9 — no label column read."""
+    from icrawler_spark.queries.simsearch import ivf_kmeans_topk_df
+
+    rows = [(i, v) for i, _l, v in _clustered_rows()]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>").select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    )
+    got = {r.vec_id for r in ivf_kmeans_topk_df(e, nprobe=2).collect()}
+    vecs = np.array([v for _i, v in rows])
+    q = vecs[0]
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-cos) if i != 0]
+    truth = set(order[:10])
+    recall = len(got & truth) / 10
+    assert recall >= 0.9, f"k-means IVF recall {recall:.2f} < 0.9 on clusterable data"
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """A zero-norm vector must not kill a cosine query under ANSI mode
+    (DIVIDE_BY_ZERO): _cosine is try_divide — NULL sorts last in the top-k
+    and fails every dup threshold, so degenerate vectors drop out."""
+    from icrawler_spark.queries.simsearch import (
+        _lsh_bucket,
+        ann_lsh_topk_from_vectors,
+        ivf_kmeans_topk_df,
+    )
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0] * _DIM), (1, [1.0] * _DIM), (2, [0.0] * _DIM)],
+        "vec_id long, v array<double>",
+    )
+    # zero-norm QUERY: every cosine NULL, job completes
+    z = ivf_kmeans_topk_df(tiny, query_vec_id=2, nprobe=8, k=10).collect()
+    assert all(r.cosine is None for r in z)
+    # zero-norm CANDIDATE ranks last behind a real match
+    top = ivf_kmeans_topk_df(tiny, query_vec_id=0, nprobe=8, k=10).collect()
+    assert top[0].vec_id == 1 and top[0].cosine == 1.0
+    assert [r.vec_id for r in top][-1] == 2 and top[-1].cosine is None
+    # same guard on the LSH path
+    eb = tiny.withColumn("bucket", _lsh_bucket(F.col("v")))
+    ann_lsh_topk_from_vectors(eb, query_vec_id=2).collect()  # must not raise
+
+
 def test_ivf_topk_nprobe_2_reaches_second_cell(spark):
     """A true neighbor in the query's SECOND-nearest cell is found (the case
     nprobe=1 structurally misses): query sits between two planted centers,

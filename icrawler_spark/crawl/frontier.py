@@ -76,6 +76,12 @@ class CrawlConfig:
                                        # with no corpus shuffle, so cache
                                        # only the fetched KEYS — never the
                                        # html payload (~30 KB/row × round)
+    dedup_near_dups: bool = False      # dedup-before-store: each round's
+                                       # fetched pages probe a crawl-lifetime
+                                       # SimHash index (Hamming ≤ 6, exact
+                                       # pigeonhole recall); near-dups of a
+                                       # PRIOR round are not parsed — their
+                                       # links never enter the frontier
 
     def seeds(self) -> list[str]:
         if self.seed_urls:
@@ -101,12 +107,13 @@ class RoundMetrics:
     wall_s: float
     files_downloaded: int = 0
     files_reused: int = 0
+    near_dups_skipped: int = 0
 
     def as_tuple(self):
         return (
             self.round, self.pages_fetched, self.pages_missing, self.links_discovered,
             self.links_new, self.entries_seen, self.documents_seen, float(self.wall_s),
-            self.files_downloaded, self.files_reused,
+            self.files_downloaded, self.files_reused, self.near_dups_skipped,
         )
 
 
@@ -142,7 +149,7 @@ def _obs_long(obs: Observation, key: str, fallback) -> int:
 _METRICS_SCHEMA = (
     "round int, pages_fetched long, pages_missing long, links_discovered long, "
     "links_new long, entries_seen long, documents_seen long, wall_s double, "
-    "files_downloaded long, files_reused long"
+    "files_downloaded long, files_reused long, near_dups_skipped long"
 )
 
 
@@ -207,6 +214,8 @@ class CrawlEngine:
         self._n_pending = 0
         self._bloom: bloom_mod.BloomFilter | None = None
         self._bloom_bc = None  # this round's broadcast; destroyed next round
+        self._simhash_index: DataFrame | None = None  # (url, simhash) of all
+                                                      # stored (non-dup) pages
         self._last_big_round = False  # routing taken by the latest round (tests)
 
     # -- state plumbing --------------------------------------------------------
@@ -307,6 +316,11 @@ class CrawlEngine:
                 self.entries = self.store.read(last, "entries") if self.store.has_table(last, "entries") else None
                 self.documents = (
                     self.store.read(last, "documents") if self.store.has_table(last, "documents") else None
+                )
+                self._simhash_index = (
+                    self.store.read(last, "simhash_index")
+                    if self.store.has_table(last, "simhash_index")
+                    else None
                 )
                 row = self.pending.agg(F.max("discovery_pos").alias("m")).collect()[0]
                 vmax = self.visited.agg(F.max("global_pos").alias("m")).collect()[0]
@@ -447,9 +461,10 @@ class CrawlEngine:
             batch_side = F.broadcast(batch)
         else:
             batch_side = batch.hint("shuffle_hash")
-        fetched = self.pages.join(batch_side, "url", "inner").select(
-            "task", "url", "html", "depth", "discovered_round", "discovery_pos"
-        )
+        fetch_cols = ["task", "url", "html", "depth", "discovered_round", "discovery_pos"]
+        if cfg.dedup_near_dups and "text" in self.pages.columns:
+            fetch_cols.append("text")
+        fetched = self.pages.join(batch_side, "url", "inner").select(*fetch_cols)
         # What to cache from the fetch join is THE big-round scaling decision:
         # caching the html column writes the whole fetched payload (~30 KB/row
         # × round size) through the memory bus into the JVM cache — a cost
@@ -473,7 +488,7 @@ class CrawlEngine:
         # there too — persisting the payload wrote ~75 GB through the block
         # manager for nothing (measured: 1924 s with payload cache vs the
         # keys-only rerun on the same 10M-URL bucketed round).
-        reuse_html = cfg.parse_entries or not (
+        reuse_html = cfg.parse_entries or cfg.dedup_near_dups or not (
             is_broadcast_batch or cfg.pages_is_bucketed
         )
         if reuse_html:
@@ -517,9 +532,63 @@ class CrawlEngine:
         n_deferred = n_pending_before - n_batch
         _mark("fetch+pin_visited")
 
+        # dedup-before-store (north-star incremental-crawl step): this
+        # round's fetched pages probe the crawl-lifetime SimHash index; a
+        # page within Hamming ≤ 6 of any PRIOR round's page is near-dup —
+        # still visited (we did fetch it), but its content is dropped: no
+        # link expansion, no entries parse, not added to the index. The
+        # probe is the asymmetric block-and-flip equi-join
+        # (textops.simhash_pairs_between): only the per-round batch explodes
+        # the 52 probe keys; the index side keeps its 4 build keys — at
+        # 10^10 the index is an Iceberg table bucketed by block key.
+        n_near_dups = 0
+        fetched_for_parse = fetched
+        if cfg.dedup_near_dups:
+            from ..queries.textops import simhash_expr, simhash_pairs_between
+
+            # binary→string via cast, NOT decode(): ANSI decode throws
+            # MALFORMED_CHARACTER_CODING on invalid UTF-8 — and crawled html
+            # is routinely mis-encoded; the cast substitutes and the
+            # signature stays deterministic
+            html_str = F.col("html").cast("string")
+            content = (
+                F.coalesce(F.nullif(F.col("text"), F.lit("")), html_str)
+                if "text" in fetched.columns
+                else html_str
+            )
+            new_sigs = (
+                fetched.select("url", simhash_expr(content).alias("simhash"))
+                .groupBy("url")
+                .agg(F.min("simhash").alias("simhash"))
+            )
+            dup_urls = None
+            if self._simhash_index is not None:
+                pairs = simhash_pairs_between(
+                    new_sigs.select(F.col("url").alias("doc_id"), "simhash"),
+                    self._simhash_index.select(F.col("url").alias("doc_id"), "simhash"),
+                )
+                dup_urls = (
+                    pairs.select(F.col("new_id").alias("url"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_near_dups = dup_urls.count()
+            fresh_sigs = (
+                new_sigs if dup_urls is None else new_sigs.join(dup_urls, "url", "left_anti")
+            )
+            merged_index = (
+                fresh_sigs
+                if self._simhash_index is None
+                else self._simhash_index.unionByName(fresh_sigs)
+            )
+            self._simhash_index = self._pin(merged_index, rnd, "simhash_index")
+            if dup_urls is not None and n_near_dups:
+                fetched_for_parse = fetched.join(dup_urls, "url", "left_anti")
+            _mark("near_dup_index")
+
         # parse pagination links (Arrow-batched UDF), first-wins dedup in FIFO
         # append order (parent pos, link pos)
-        page_inputs = fetched.withColumn("start_url", F.lit(cfg.scope_url))
+        page_inputs = fetched_for_parse.withColumn("start_url", F.lit(cfg.scope_url))
         obs_links = Observation(f"links_r{rnd}")
         # the join-back side is DISTINCT: on a multi-snapshot corpus the
         # parse already runs once per snapshot (S×); joining against S
@@ -601,7 +670,7 @@ class CrawlEngine:
         obs_entries = obs_docs = None
         if cfg.parse_entries:
             parsed = udfs.parse_listing_entries(
-                fetched.withColumn("dialect", F.lit(cfg.dialect))
+                fetched_for_parse.withColumn("dialect", F.lit(cfg.dialect))
             ).join(
                 fetched_keys.select(
                     F.col("url").alias("page_url"), "discovery_pos"
@@ -733,6 +802,7 @@ class CrawlEngine:
             wall_s=time.time() - t0,
             files_downloaded=n_dl,
             files_reused=n_reused,
+            near_dups_skipped=n_near_dups,
         )
         self.metrics.append(m)
         if self.store is not None:

@@ -611,7 +611,14 @@ def simhash(spark, sf_dir):
     sf0.1 on 32 cores; results bit-identical). bit_get takes a Column
     position; 2^j via pow() is exact for j ≤ 47."""
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(_tokens(F.col("text")))
+    return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+
+
+def simhash_expr(text_col):
+    """The 48-bit SimHash as a reusable Column expression over any text
+    column — the crawl engine computes it on fetched page text for
+    dedup-before-store (``CrawlConfig.dedup_near_dups``)."""
+    toks = F.array_distinct(_tokens(text_col))
     hashes = F.transform(toks, lambda t: _hash48(t))
     seq48 = F.sequence(F.lit(0), F.lit(47))
     votes = F.aggregate(
@@ -621,7 +628,7 @@ def simhash(spark, sf_dir):
             acc, seq48, lambda a, j: a + (F.bit_get(h, j).cast("long") * 2 - 1)
         ),
     )
-    sim = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             votes,
             seq48,
@@ -630,7 +637,6 @@ def simhash(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return d.select("doc_id", sim.alias("simhash"))
 
 
 SIMHASH_SQL = f"""
@@ -663,40 +669,44 @@ _SIMHASH_BLOCK_BITS = 12
 _SIMHASH_BLOCKS = [(0, 12), (12, 12), (24, 12), (36, 12)]
 
 
+def _sim_block_val(off):
+    return F.shiftright(F.col("simhash"), off).bitwiseAND(
+        F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
+    )
+
+
+_SIM_BUILD_KEYS = lambda: F.array(  # noqa: E731 — column factory, not a def
+    *[
+        F.struct(F.lit(i).alias("block_id"), _sim_block_val(off).alias("block_key"))
+        for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
+    ]
+)
+
+_SIM_PROBE_KEYS = lambda: F.array(  # noqa: E731
+    *[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            _sim_block_val(off).bitwiseXOR(F.lit(flip)).alias("block_key"),
+        )
+        for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
+        for flip in [0] + [1 << j for j in range(_SIMHASH_BLOCK_BITS)]
+    ]
+)
+
+
+def _sim_keyed(sig, id_col, arr):
+    return sig.select(id_col, "simhash", F.explode(arr).alias("b")).select(
+        id_col,
+        "simhash",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.block_key").alias("block_key"),
+    )
+
+
 def simhash_pairs_from_signatures(sig):
     """(doc_id, simhash) → near-dup pairs with Hamming ≤ 6, exact recall."""
-    def block_val(off):
-        return F.shiftright(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
-        )
-
-    build_keys = F.array(
-        *[
-            F.struct(F.lit(i).alias("block_id"), block_val(off).alias("block_key"))
-            for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
-        ]
-    )
-    probe_keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("block_id"),
-                block_val(off).bitwiseXOR(F.lit(flip)).alias("block_key"),
-            )
-            for i, (off, _ln) in enumerate(_SIMHASH_BLOCKS)
-            for flip in [0] + [1 << j for j in range(_SIMHASH_BLOCK_BITS)]
-        ]
-    )
-
-    def keyed(arr):
-        return sig.select("doc_id", "simhash", F.explode(arr).alias("b")).select(
-            "doc_id",
-            "simhash",
-            F.col("b.block_id").alias("block_id"),
-            F.col("b.block_key").alias("block_key"),
-        )
-
-    a = keyed(probe_keys).alias("a")
-    b = keyed(build_keys).alias("b")
+    a = _sim_keyed(sig, "doc_id", _SIM_PROBE_KEYS()).alias("a")
+    b = _sim_keyed(sig, "doc_id", _SIM_BUILD_KEYS()).alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
@@ -713,6 +723,58 @@ def simhash_pairs_from_signatures(sig):
         .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .distinct()  # a pair can match in several (block, flip) keys
     )
+
+
+def simhash_pairs_between(new_sig, index_sig, id_col="doc_id"):
+    """Asymmetric near-dup join: each NEW signature against a HISTORICAL
+    index (disjoint id spaces, so no `<` ordering guard). Only the new —
+    i.e. small — side explodes the 52 probe keys; the index side keeps its
+    4 build keys: the dedup-before-store shape of an incremental crawl,
+    where the per-round batch probes a crawl-lifetime index. Returns
+    (new_id, index_id, hamming), Hamming ≤ 6, exact recall (pigeonhole)."""
+    a = _sim_keyed(new_sig, id_col, _SIM_PROBE_KEYS()).alias("a")
+    b = _sim_keyed(index_sig, id_col, _SIM_BUILD_KEYS()).alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("index_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def incremental_simhash_dedup(spark, sf_dir):
+    """Document-level incremental dedup (VERDICT r3 item 7), as a query:
+    the corpus splits into a historical index (doc_id % 3 ≠ 0) and a new
+    batch (doc_id % 3 = 0) — the round-N-vs-prior-rounds shape — and every
+    new doc within Hamming ≤ 6 of an indexed doc is reported with its best
+    (lowest-Hamming, then lowest-id) match. The crawl engine runs exactly
+    this join per round on fetched page text (``CrawlConfig.dedup_near_dups``,
+    tests/test_crawl.py)."""
+    sig = simhash(spark, sf_dir).localCheckpoint(eager=True)
+    new = sig.where(F.col("doc_id") % 3 == 0)
+    hist = sig.where(F.col("doc_id") % 3 != 0)
+    pairs = simhash_pairs_between(new, hist)
+    pick = Window.partitionBy("new_id").orderBy(F.asc("hamming"), F.asc("index_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("index_id").alias("dup_of"),
+            "hamming",
+        )
+    )
+
+
 
 
 def simhash_dup_pairs(spark, sf_dir):
@@ -749,6 +811,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
+INCREMENTAL_SIMHASH_DEDUP_SQL = f"""
+WITH sh AS ({SIMHASH_SQL.strip()}),
+base AS (
+  SELECT doc_id, simhash, b.block_id,
+         (simhash >> b.off) & {(1 << _SIMHASH_BLOCK_BITS) - 1} AS block_key
+  FROM (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+       (VALUES {_SIMHASH_BLOCKS_SQL}) AS b(block_id, off)
+),
+probe AS (
+  SELECT doc_id, simhash, block_id, xor(block_key, f.flip) AS block_key
+  FROM (
+    SELECT doc_id, simhash, b.block_id,
+           (simhash >> b.off) & {(1 << _SIMHASH_BLOCK_BITS) - 1} AS block_key
+    FROM (SELECT * FROM sh WHERE doc_id % 3 = 0),
+         (VALUES {_SIMHASH_BLOCKS_SQL}) AS b(block_id, off)
+  ), (SELECT unnest([0] || list_transform(range(0, {_SIMHASH_BLOCK_BITS}),
+                                          j -> CAST(1 AS BIGINT) << j)) AS flip) f
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM probe a JOIN base b
+    ON a.block_id = b.block_id AND a.block_key = b.block_key
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+)
+SELECT new_id AS doc_id, index_id AS dup_of, hamming FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                               ORDER BY hamming ASC, index_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_STATS_BPE_SQL),
@@ -763,4 +858,5 @@ QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "simhash": (simhash, SIMHASH_SQL),
     "simhash_dup_pairs": (simhash_dup_pairs, SIMHASH_DUP_SQL),
+    "incremental_simhash_dedup": (incremental_simhash_dedup, INCREMENTAL_SIMHASH_DEDUP_SQL),
 }

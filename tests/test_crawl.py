@@ -139,6 +139,55 @@ def test_priority_frontier_default_is_fifo(spark, site, pages):
     assert eng.seen_urls() == ref_seen
 
 
+def test_dedup_near_dups_skips_round_n_plus_1(spark):
+    """VERDICT r3 item 7: with ``dedup_near_dups`` on, a page fetched in
+    round N+1 that is a SimHash near-dup (Hamming ≤ 6) of a round-N page is
+    fetched-but-dropped — its links never enter the frontier — while the
+    same crawl without the flag follows them."""
+    import datetime as dt
+
+    base = "https://dup.example.test"
+    t_common = " ".join(f"token{i} word{i}" for i in range(150))
+    t_neardup = t_common.replace("token100", "tokenX")  # one-token delta
+    t_distinct = " ".join(f"other{i} thing{i}" for i in range(150))
+
+    def row(path, text, link=None):
+        a = f'<a href="{base}/{link}">下一页</a>' if link else ""
+        html = f"<html><body><p>page {path}</p>{a}</body></html>"
+        return (
+            f"{base}/{path}",
+            dt.datetime(2024, 1, 1),
+            html.encode("utf-8"),
+            text,
+            "en",
+        )
+
+    pages = spark.createDataFrame(
+        [
+            row("p0.html", "tiny seed page", link="p1.html"),
+            row("p1.html", t_common, link="p2.html"),
+            row("p2.html", t_neardup, link="p3.html"),  # near-dup of p1
+            row("p3.html", t_distinct),
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    kw = dict(start_url=f"{base}/p0.html", max_rounds=10, use_bloom=False,
+              parse_entries=False, host_budget=1)
+
+    eng = CrawlEngine(spark, pages, CrawlConfig(dedup_near_dups=True, **kw))
+    eng.run()
+    urls = {r.url: r.status for r in eng.visited.collect()}
+    assert urls.get(f"{base}/p2.html") == "fetched"  # the dup IS fetched...
+    assert f"{base}/p3.html" not in urls             # ...but never expanded
+    skipped = {m.round: m.near_dups_skipped for m in eng.metrics}
+    assert skipped[2] == 1 and skipped[0] == 0 and skipped[1] == 0
+
+    control = CrawlEngine(spark, pages, CrawlConfig(**kw))
+    control.run()
+    assert f"{base}/p3.html" in {r.url for r in control.visited.collect()}
+    assert all(m.near_dups_skipped == 0 for m in control.metrics)
+
+
 def test_missing_pages_marked_visited(spark, site):
     # drop one listing page from the corpus: engine must mark it missing and
     # never retry it, matching the model's visited semantics

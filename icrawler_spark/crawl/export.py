@@ -91,6 +91,59 @@ def state_export_json(entries: DataFrame, documents: DataFrame, seen: DataFrame 
     return json.dumps({"entries": entries_list}, ensure_ascii=False, indent=2)
 
 
+def state_json_to_tables(
+    spark: SparkSession, data: object, task: str = "task"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """state.json document → (entries, documents, seen) tables — the inverse
+    of ``state_export_json`` (ref from_jsonable state.py:300-359). entry_id
+    derivation mirrors ``resolve_entry_identity``: first html doc url →
+    first doc url → title::remark → serial::N. Driver-side by definition
+    (the artifact is one JSON file); the tables come out merge-shaped
+    (``_src_pos`` carries document discovery order)."""
+    ents = data.get("entries", []) if isinstance(data, dict) else []
+    e_rows, d_rows, s_rows = [], [], []
+    for pos, ent in enumerate(ents):
+        if not isinstance(ent, dict):
+            continue
+        docs = [d for d in (ent.get("documents") or []) if isinstance(d, dict)]
+        title = str(ent.get("title") or "")
+        remark = str(ent.get("remark") or "")
+        serial = ent.get("serial")
+        eid = next((d.get("url") for d in docs if d.get("type") == "html" and d.get("url")), None)
+        if eid is None:
+            eid = next((d.get("url") for d in docs if d.get("url")), None)
+        if eid is None and (title or remark):
+            eid = f"{title}::{remark}"
+        if eid is None:
+            eid = f"serial::{serial}"
+        e_rows.append((str(eid), task, serial, title, remark, pos))
+        for i, d in enumerate(docs):
+            url = d.get("url")
+            if not isinstance(url, str):
+                continue
+            dtitle = str(d.get("title") or "")
+            dtype = str(d.get("type") or "") or None
+            sp = pos * 1000 + i
+            d_rows.append((str(eid), url, dtype, dtitle, sp))
+            s_rows.append(
+                (url, str(eid), dtitle, dtype, bool(d.get("downloaded")),
+                 d.get("local_path") if isinstance(d.get("local_path"), str) else None, sp)
+            )
+    entries = spark.createDataFrame(
+        e_rows,
+        "entry_id string, task string, serial int, title string, remark string, _src_pos long",
+    )
+    documents = spark.createDataFrame(
+        d_rows, "entry_id string, url string, doc_type string, title string, _src_pos long"
+    )
+    seen = spark.createDataFrame(
+        s_rows,
+        "url string, entry_id string, title string, doc_type string, "
+        "downloaded boolean, local_path string, _src_pos long",
+    )
+    return entries, documents, seen
+
+
 def legacy_state_to_entries(spark: SparkSession, data: object, task: str = "task") -> DataFrame:
     """Legacy formats → (task, entry_id, serial, title, remark, url,
     doc_type, doc_title, downloaded) rows (ref state.py:328-359):

@@ -17,16 +17,26 @@ The batch dataflow runs the same rules as set operations per round:
 Downloads are idempotent per URL, so the batch outcome (downloaded set,
 document tree) equals the reference's serial walk outcome — pinned by
 tests/test_downloads.py against the extended pure-Python model.
+
+Stage counters ride as ``observe()`` metrics on the returned plan and
+resolve LAZILY (VERDICT r3 item 1): inside the crawl engine they fire with
+the per-round state pins — zero standalone count() jobs — while a direct
+caller that touches ``metrics[...]`` before any action falls back to
+count() on the stage caches, the r3 behavior. The attachment expansion is
+built unconditionally (an empty attachment set makes every added operator a
+runtime no-op under AQE's empty-relation propagation), because branching on
+the count was the one counter the plan needed eagerly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import native
 from ..functions.pandas_udfs import structured_filename as structured_filename_udf
 from ..parsers import udfs
+from .frontier import _obs_long
 from .state import merge_documents, merge_seen
 
 
@@ -42,6 +52,43 @@ def _norm_type():
     )
 
 
+class LazyDownloadMetrics:
+    """Mapping facade over the stage's observe()-carried counters.
+
+    First access resolves every counter (observation if its action already
+    ran, count() fallback otherwise) and releases the stage caches."""
+
+    def __init__(self, resolver):
+        self._resolver = resolver
+        self._data: dict | None = None
+
+    def _resolve(self) -> dict:
+        if self._data is None:
+            self._data = self._resolver()
+        return self._data
+
+    def __getitem__(self, key):
+        return self._resolve()[key]
+
+    def get(self, key, default=None):
+        return self._resolve().get(key, default)
+
+    def __contains__(self, key):
+        return key in self._resolve()
+
+    def __iter__(self):
+        return iter(self._resolve())
+
+    def __len__(self):
+        return len(self._resolve())
+
+    def keys(self):
+        return self._resolve().keys()
+
+    def items(self):
+        return self._resolve().items()
+
+
 def run_download_stage(
     spark: SparkSession,
     pages: DataFrame,
@@ -50,14 +97,14 @@ def run_download_stage(
     allowed_types: list[str] | None = None,
     existing_files: DataFrame | None = None,
     verify_local: bool = False,
-) -> tuple[DataFrame, DataFrame, dict]:
-    """One download round. Returns (seen', documents', metrics).
+) -> tuple[DataFrame, DataFrame, LazyDownloadMetrics]:
+    """One download round. Returns (seen', documents', lazy metrics).
 
     ``pages`` doubles as the network: a URL "downloads" iff present there.
     ``existing_files(local_path)`` is the output-dir listing for the
-    reuse-existing and verify-local joins."""
-    metrics = {"files_downloaded": 0, "files_reused": 0, "attachments_discovered": 0}
-
+    reuse-existing and verify-local joins. Resolve ``metrics`` AFTER the
+    caller's materializing action (the engine reads it after the state
+    pins) to keep the stage count-job-free."""
     # verify_local: downloaded rows whose local file vanished lose the flag
     if verify_local and existing_files is not None:
         listing = existing_files.select(F.col("local_path").alias("_lp")).distinct()
@@ -82,10 +129,13 @@ def run_download_stage(
     )
 
     # reuse-existing: expected structured filename already on disk
+    obs_reused = None
     if existing_files is not None:
         listing = existing_files.select(F.col("local_path").alias("_fname")).distinct()
-        reused = cand.join(F.broadcast(listing), "_fname", "left_semi")
-        metrics["files_reused"] = reused.count()
+        obs_reused = Observation()
+        reused = cand.join(F.broadcast(listing), "_fname", "left_semi").observe(
+            obs_reused, F.count(F.lit(1)).alias("n")
+        )
         cand = cand.join(F.broadcast(listing), "_fname", "left_anti")
     else:
         reused = None
@@ -94,13 +144,14 @@ def run_download_stage(
         """candidates ⋈ pages → downloaded rows (url, entry_id, _ntype, _fname, html)."""
         return c.join(pages.select("url", "html"), "url", "inner")
 
-    first = fetch_and_mark(cand).persist()
-    n_first = first.count()
+    obs_first = Observation()
+    first = fetch_and_mark(cand).observe(obs_first, F.count(F.lit(1)).alias("n")).persist()
 
     # html fetches → one level of detail-attachment expansion
     html_pages = first.where(F.col("_ntype") == "html").select(
         F.col("entry_id"), F.col("url"), F.col("html")
     )
+    obs_atts = Observation()
     atts = udfs.parse_detail_attachments(
         html_pages.select(F.lit("task").alias("task"), "url", "html")
     ).join(
@@ -110,20 +161,21 @@ def run_download_stage(
     ).select(
         "entry_id", "url", F.col("_ntype").alias("doc_type"), "title",
         (F.col("att_pos")).cast("long").alias("_src_pos"),
-    ).persist()
-    n_atts = atts.count()
-    metrics["attachments_discovered"] = n_atts
+    ).observe(obs_atts, F.count(F.lit(1)).alias("n")).persist()
 
-    second = None
-    if n_atts:
-        documents = merge_documents(documents, atts)
-        att_cand = (
-            atts.join(seen.select("url"), "url", "left_anti")
-            .withColumn("_ntype", _norm_type())
-            .withColumn("_fname", structured_filename_udf(F.col("url"), F.col("_ntype")))
-            .select("entry_id", "url", "title", "_ntype", "_fname")
-        )
-        second = fetch_and_mark(att_cand).persist()
+    documents = merge_documents(documents, atts)
+    att_cand = (
+        atts.join(seen.select("url"), "url", "left_anti")
+        .withColumn("_ntype", _norm_type())
+        .withColumn("_fname", structured_filename_udf(F.col("url"), F.col("_ntype")))
+        .select("entry_id", "url", "title", "_ntype", "_fname")
+    )
+    obs_second = Observation()
+    second = (
+        fetch_and_mark(att_cand)
+        .observe(obs_second, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
 
     def downloaded_rows(df: DataFrame) -> DataFrame:
         # marks are per-url unique; the hash is only a deterministic
@@ -138,18 +190,14 @@ def run_download_stage(
             F.xxhash64("url").alias("_src_pos"),
         )
 
-    marks = downloaded_rows(first)
-    n_second = 0
-    if second is not None:
-        n_second = second.count()
-        marks = marks.unionByName(downloaded_rows(second))
-        att_seen = atts.select(
-            "url", "entry_id", "title", "doc_type",
-            F.lit(False).alias("downloaded"),
-            F.lit(None).cast("string").alias("local_path"),
-            "_src_pos",
-        )
-        seen = merge_seen(seen, att_seen)
+    marks = downloaded_rows(first).unionByName(downloaded_rows(second))
+    att_seen = atts.select(
+        "url", "entry_id", "title", "doc_type",
+        F.lit(False).alias("downloaded"),
+        F.lit(None).cast("string").alias("local_path"),
+        "_src_pos",
+    )
+    seen = merge_seen(seen, att_seen)
     if reused is not None:
         marks = marks.unionByName(
             reused.select(
@@ -160,11 +208,21 @@ def run_download_stage(
                 F.xxhash64("url").alias("_src_pos"),
             )
         )
-
-    metrics["files_downloaded"] = n_first + n_second
     seen = merge_seen(seen, marks)
-    first.unpersist()
-    atts.unpersist()
-    if second is not None:
-        second.unpersist()
-    return seen, documents, metrics
+
+    def _resolve() -> dict:
+        n_first = _obs_long(obs_first, "n", first.count)
+        n_atts = _obs_long(obs_atts, "n", atts.count)
+        n_second = _obs_long(obs_second, "n", second.count)
+        n_reused = (
+            _obs_long(obs_reused, "n", reused.count) if obs_reused is not None else 0
+        )
+        for df in (first, atts, second):
+            df.unpersist()
+        return {
+            "files_downloaded": n_first + n_second,
+            "files_reused": n_reused,
+            "attachments_discovered": n_atts,
+        }
+
+    return seen, documents, LazyDownloadMetrics(_resolve)

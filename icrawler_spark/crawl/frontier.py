@@ -707,8 +707,10 @@ class CrawlEngine:
             )
             self.seen = merge_seen(self.seen, batch_seen)
 
-        # document download stage (ref pbc_monitor.py:572-813 work-queue)
-        n_dl = n_reused = 0
+        # document download stage (ref pbc_monitor.py:572-813 work-queue).
+        # Its metrics are observe()-carried and LAZY: resolved after the
+        # seen/documents pins below, so the stage adds no count() jobs.
+        dl_metrics = None
         if cfg.download_docs and self.seen is not None:
             from .downloads import run_download_stage
 
@@ -719,8 +721,6 @@ class CrawlEngine:
                 self.documents,
                 allowed_types=cfg.allowed_types,
             )
-            n_dl = dl_metrics["files_downloaded"]
-            n_reused = dl_metrics["files_reused"]
 
         # fold state, update bloom with this round's batch, pin lineage.
         # (the visited delta was pinned up front, before the parse stage)
@@ -755,6 +755,10 @@ class CrawlEngine:
             n_entries = _obs_long(obs_entries, "n", with_ids.count)
         if obs_docs is not None:
             n_docs = _obs_long(obs_docs, "n", batch_docs.count)
+        n_dl = n_reused = 0
+        if dl_metrics is not None:
+            n_dl = dl_metrics["files_downloaded"]
+            n_reused = dl_metrics["files_reused"]
         n_new = self._n_pending - n_deferred
         self._next_pos += n_new
 

@@ -29,6 +29,33 @@ def _downloaded(seen) -> set[str]:
     return {r.url for r in seen.where(F.col("downloaded")).collect()}
 
 
+def test_download_metrics_need_no_count_jobs(spark, site, crawled):
+    """VERDICT r3 item 1: the stage counters ride observe() on the caller's
+    own pin action. After ONE materializing action on the returned seen
+    table, every metric resolves with DataFrame.count forbidden — i.e. the
+    engine's per-round download metrics cost zero standalone count jobs."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    pages, eng = crawled
+    seen2, _docs2, metrics = run_download_stage(spark, pages, eng.seen, eng.documents)
+    seen2.localCheckpoint(eager=True)  # the caller's pin — fires all observations
+
+    orig = _CDF.count
+
+    def _forbidden(self):
+        raise AssertionError("standalone count() job in download metrics path")
+
+    _CDF.count = _forbidden
+    try:
+        resolved = dict(metrics.items())
+    finally:
+        _CDF.count = orig
+    entries = crawl_model_docs(site, START)
+    _want_downloaded, _want_docs, want_n = download_model(site, entries)
+    assert resolved["files_downloaded"] == want_n
+    assert resolved["attachments_discovered"] > 0
+
+
 def test_download_parity_with_model(spark, site, crawled):
     pages, eng = crawled
     seen2, docs2, metrics = run_download_stage(spark, pages, eng.seen, eng.documents)

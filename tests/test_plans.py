@@ -87,6 +87,8 @@ def test_no_cartesian_products_in_registry(spark):
         "knn_brute_force",
         "ivf_assign",
         "ivf_topk",
+        "ivf_kmeans",        # broadcast of the k=8 centroid table per Lloyd round
+        "ivf_kmeans_topk",   # same + the 1-row query vector
         "run_summary",
         "serial_assignment",
         "status_rollup",

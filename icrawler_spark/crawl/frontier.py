@@ -470,27 +470,33 @@ class CrawlEngine:
         # × round size) through the memory bus into the JVM cache — a cost
         # that is bandwidth-bound, not CPU-bound, so it does NOT shrink with
         # more cores (measured flat 90.6 s → 84.2 s from 4 to 16 cores on a
-        # 320k-page round). When the entries parse is off AND the batch side
-        # is broadcast, html is consumed exactly ONCE (the links parse) and
-        # re-deriving the join is a column-pruned corpus scan — so cache only
-        # the fetched KEYS (url/depth/discovery_pos) and stream html straight
-        # from the corpus scan into the Arrow parse. With the entries parse
-        # on, html is read twice, so the payload cache pays for itself. On
-        # the SHUFFLE-HASH path the payload cache is mandatory when the
-        # corpus is a plain table: an uncached plan re-executes the join per
-        # consumer and shuffles the html bytes to disk each time (measured
-        # 810 s vs 310 s on a 10M-URL round — the shuffle, not the cache
-        # write, is the bandwidth killer). But when the pages table is
-        # BUCKETED by url (cfg.pages_is_bucketed — the Iceberg layout of the
-        # north rule), the pages side of the join never shuffles at all:
-        # re-deriving the join is a bucket-local parquet scan plus the
-        # (persisted, keys-only) batch exchange, so the keys-only cache wins
-        # there too — persisting the payload wrote ~75 GB through the block
-        # manager for nothing (measured: 1924 s with payload cache vs the
-        # keys-only rerun on the same 10M-URL bucketed round).
-        reuse_html = cfg.parse_entries or cfg.dedup_near_dups or not (
-            is_broadcast_batch or cfg.pages_is_bucketed
-        )
+        # 320k-page round). The rule: cache the payload IFF html has two or
+        # more consumers. With the entries parse off and near-dup dedup off,
+        # html is consumed exactly ONCE (the links parse) — cache only the
+        # fetched KEYS (url/depth/discovery_pos; their re-derivation is a
+        # column-pruned corpus scan plus a keys-only batch exchange) and
+        # stream html straight from the corpus scan into the Arrow parse.
+        # With a second html consumer (entries parse, near-dup probe) the
+        # payload cache pays for itself.
+        #
+        # History, because this line has flip-flopped on measurements from
+        # two different regimes: an r3 commit forced the payload persist on
+        # the whole shuffle-hash plain-table path after a 10M-URL round
+        # measured 810 s keys-only vs 310 s persisted. That 10M corpus was a
+        # 75 GB MEMORY_AND_DISK persist that had SPILLED — and a "pruned"
+        # re-scan against disk-spilled cache blocks deserializes whole
+        # partitions, so the keys re-derivation re-read all 75 GB of html
+        # from disk. That regime is the anti-scale configuration the r3
+        # crash note retired (no fleet caches 100 TB of html): a 10^10
+        # corpus is a url-bucketed Iceberg/parquet table, where the pruned
+        # re-scan reads only the key columns. In the regime that fits
+        # memory, the forced persist was a 4x regression: interleaved
+        # same-window A/B at 16c on the 1.28M-URL big round measured 537 s
+        # with the payload persist vs ~130 s keys-only (BENCH/
+        # r4_ab_bisect.jsonl; the 537 reproduced to 0.1% across two runs) —
+        # the persist writes ~20 GB through the block manager and evicts
+        # the corpus cache for a payload that is consumed once.
+        reuse_html = cfg.parse_entries or cfg.dedup_near_dups
         if reuse_html:
             fetched = fetched.persist()
             fetched_keys = fetched.select("url", "depth", "discovery_pos")

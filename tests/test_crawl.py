@@ -468,6 +468,36 @@ def test_bucketed_pages_join_has_no_corpus_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS pages_b_test")
 
 
+def test_keysonly_cache_on_plain_shuffle_hash_matches_plain(spark):
+    """The keys-only fetch cache now covers the plain-corpus shuffle-hash
+    path too (html has one consumer when both parses are off, so the payload
+    persist was a pure regression there — 537 s vs ~130 s on the 1.28M-URL
+    big round at 16c, BENCH/r4_ab_bisect.jsonl). Forcing every round onto
+    the shuffle-hash path must not change crawl order or the seen-set."""
+    from icrawler_spark.crawl import build_site, site_pages_df
+
+    site = build_site(n_pages=4, entries_per_page=3)
+    pages = site_pages_df(spark, site)
+    plain = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    plain.run()
+
+    sh = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            start_url=START,
+            max_rounds=20,
+            broadcast_batch_threshold=0,  # every batch takes the shuffle-hash join
+            parse_entries=False,  # single html consumer -> keys-only cache
+        ),
+    )
+    sh.run()
+    # crawl_order is the full frontier contract (BFS order + politeness +
+    # dedup); seen_urls is an entries-parse artifact and parse_entries must
+    # be off to reach the keys-only branch, so it is not comparable here.
+    assert sh.crawl_order() == plain.crawl_order()
+
+
 def test_crawl_from_bucketed_table_matches_plain(spark, tmp_path):
     """Crawling from the bucketed table read must produce identical rounds,
     order, and seen-set as the plain DataFrame corpus."""

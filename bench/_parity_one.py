@@ -3,6 +3,7 @@ sf0.001 and diff exactly like the driver's order-insensitive hash.
 Usage: python bench/_parity_one.py name [name ...]
 """
 import math
+import os
 import sys
 
 import duckdb
@@ -10,7 +11,7 @@ import duckdb
 from icrawler_spark.queries import all_oracles, all_queries
 from icrawler_spark.session import get_spark
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("PARITY_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -358,14 +358,25 @@ class CrawlEngine:
     def _assign_positions(self, links: DataFrame, big_round: bool) -> DataFrame:
         """Dense global FIFO positions ordered by (parent_pos, link_pos).
 
-        Small rounds: one window. Big rounds: range-repartition on the order
-        key, per-partition row_number, driver-joined partition offsets — the
-        standard distributed dense-rank, no single-partition sort.
+        Small rounds: one window. Big rounds: the distributed dense-rank,
+        but with ARITHMETIC chunk ids instead of repartitionByRange —
+        ``parent_pos`` values are dense within a span known from one cheap
+        agg over the pin, so ``(parent_pos - min) div per_chunk`` is an
+        order-monotone partition key computed map-side. That removes, per
+        big round, (a) the range partitioner's sampling pass and (b) one
+        full-row shuffle: Window.partitionBy on a range-partitioned df
+        does NOT satisfy the window's hash requirement, so the r3 path
+        paid range-exchange + hash-exchange; the chunked window pays one
+        hash-exchange. The r4 stage profile measured the positions stage
+        at ~53 s/big-round REGARDLESS of core count (55.9 s @ 4c vs
+        52.5 s @ 16c at 1.28M pages) — shuffle volume through one shared
+        disk is the serial term, so halving shuffled volume attacks the
+        whole-job scaling gap directly.
 
-        The candidate links are pinned BEFORE repartitionByRange: the range
-        partitioner's sampling pass would otherwise re-execute the whole
-        parse → dedup-window → bloom → anti-join lineage a second time
-        (measured ~45 s/round at 400k pages — half the round wall)."""
+        The candidate links are pinned BEFORE any of this: the stats agg
+        and the window would otherwise re-execute the whole parse →
+        dedup-window → bloom → anti-join lineage (measured ~45 s/round at
+        400k pages — half the round wall)."""
         order = [F.asc("parent_pos"), F.asc("link_pos")]
         if not big_round:
             w = Window.orderBy(*order)
@@ -375,28 +386,40 @@ class CrawlEngine:
             )
         parts = max(self.cfg.n_host_shards, 1)
         pinned = links.localCheckpoint(eager=True)
-        ranged = pinned.repartitionByRange(parts, *order).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        counts = {r._pid: r.cnt for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        if not counts:
-            # all candidates were deduped/seen — empty map() would not type
+        # two cheap map-side-combined aggs over the pin (order-key span,
+        # then per-chunk counts) replace sampling + a full-row shuffle
+        mn_row = pinned.agg(
+            F.min("parent_pos").alias("mn"), F.max("parent_pos").alias("mx")
+        ).collect()[0]
+        if mn_row.mn is None:
+            # all candidates were deduped/seen
             w = Window.orderBy(*order)
-            return ranged.drop("_pid").withColumn(
+            return pinned.withColumn(
                 "discovery_pos",
                 (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
             )
+        mn, mx = int(mn_row.mn), int(mn_row.mx)
+        nchunks = min(max(parts * 8, 64), 256)
+        per = max(1, -(-(mx - mn + 1) // nchunks))  # ceil division
+        ck = F.expr(f"CAST((parent_pos - {mn}) DIV {per} AS LONG)")
+        chunked = pinned.withColumn("_ck", ck)
+        counts = {
+            int(r._ck): r.cnt
+            for r in chunked.groupBy("_ck").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
         offsets, acc = {}, self._next_pos - 1
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        wp = Window.partitionBy("_pid").orderBy(*order)
+        for cid in sorted(counts):
+            offsets[cid] = acc
+            acc += counts[cid]
+        # cast every literal: past 2^31 rows Python ints become LongType lits
+        # while small ones stay IntegerType — create_map rejects the mix
+        omap = F.create_map(*[F.lit(x).cast("long") for kv in offsets.items() for x in kv])
+        wp = Window.partitionBy("_ck").orderBy(*order)
         return (
-            ranged.withColumn(
+            chunked.withColumn(
                 "discovery_pos",
-                (F.row_number().over(wp) + omap[F.col("_pid")]).cast("long"),
-            ).drop("_pid")
+                (F.row_number().over(wp) + omap[F.col("_ck")]).cast("long"),
+            ).drop("_ck")
         )
 
     # -- one round -------------------------------------------------------------
@@ -596,18 +619,16 @@ class CrawlEngine:
         # append order (parent pos, link pos)
         page_inputs = fetched_for_parse.withColumn("start_url", F.lit(cfg.scope_url))
         obs_links = Observation(f"links_r{rnd}")
-        # the join-back side is DISTINCT: on a multi-snapshot corpus the
-        # parse already runs once per snapshot (S×); joining against S
-        # fetched rows again would square that. Full S→1 belongs at the
-        # source — read through sources.latest_snapshot_view (Iceberg
-        # time-travel stand-in); the engine stays correct either way
-        # (first-wins link dedup below), paying S× parse work and counting
-        # per-snapshot parses in links_discovered.
-        links = udfs.parse_pagination_links(page_inputs).join(
-            fetched_keys.select(
-                F.col("url").alias("page_url"), "depth", "discovery_pos"
-            ).distinct(),
-            "page_url",
+        # (depth, discovery_pos) ride THROUGH the Arrow parse as carry
+        # columns instead of a join back to fetched_keys: the join shuffled
+        # every candidate link row (~fanout x round size) to re-attach two
+        # integers the parse input already had. Multi-snapshot corpora stay
+        # correct: the parse runs once per snapshot (S×), each carrying the
+        # same (depth, pos) — exactly what the old DISTINCT join-back
+        # produced — and first-wins link dedup below collapses them. Full
+        # S→1 belongs at the source (sources.latest_snapshot_view).
+        links = udfs.parse_pagination_links(
+            page_inputs, carry=("depth", "discovery_pos"), slim=True
         ).select(
             "task",
             "url",
@@ -628,17 +649,22 @@ class CrawlEngine:
         self._last_big_round = big_round
         _mark("parse+pin_links")
 
-        wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
-        new_links = (
-            links.withColumn("_rn", F.row_number().over(wdup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-        # seen-set filtering: bloom prefilter (incremental, covers all visited
-        # rounds) routes definitely-new links around the exact anti-join
+        # seen-set filtering FIRST, dedup-window SECOND. Order is semantics-
+        # preserving: the bloom verdict and both anti-joins are url-level —
+        # for any url either every candidate row survives or none does — so
+        # the first-wins window picks the same winner among survivors. Order
+        # matters for BYTES: in steady state nearly all candidate links point
+        # at already-visited pages, so filtering first collapses the window's
+        # shuffle input from all-candidates (12x pages) to the genuinely-new
+        # frontier — one full-corpus-sized shuffle per round removed. (The r4
+        # stage profile measured the link-pipeline materialization at ~50 s/
+        # big-round at BOTH 4 and 16 cores: the box is memory-bandwidth-bound
+        # there, so shuffled bytes, not core count, set the wall.)
+        new_links = links
         if self.visited is not None:
             if cfg.use_bloom and self._bloom is not None:
+                # bloom prefilter (incremental, covers all visited rounds)
+                # routes definitely-new links around the exact anti-join
                 bc = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
                 self._bloom_bc = bc
                 flagged = bloom_mod.prefilter_unseen(new_links, "url", bc)
@@ -649,6 +675,13 @@ class CrawlEngine:
             else:
                 new_links = new_links.join(self.visited.select("url"), "url", "left_anti")
         new_links = new_links.join(batch.select("url"), "url", "left_anti")
+
+        wdup = Window.partitionBy("url").orderBy(F.asc("parent_pos"), F.asc("link_pos"))
+        new_links = (
+            new_links.withColumn("_rn", F.row_number().over(wdup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         _mark("dedup+bloom+anti(plan)")
         if deferred is not None:
             new_links = new_links.join(deferred.select("url"), "url", "left_anti")

@@ -117,27 +117,56 @@ def parse_listing_entries(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, ENTRY_SCHEMA)
 
 
-def parse_pagination_links(pages: DataFrame) -> DataFrame:
-    """pages(task, url, html, start_url) → pagination link rows in document
-    order (``link_pos`` reproduces the reference's FIFO append order)."""
+def parse_pagination_links(
+    pages: DataFrame, carry: tuple[str, ...] = (), slim: bool = False
+) -> DataFrame:
+    """pages(task, url, html, start_url[, *carry]) → pagination link rows in
+    document order (``link_pos`` reproduces the reference's FIFO append order).
+
+    ``carry`` names long-typed input columns echoed verbatim onto every link
+    row of their page — Arrow pass-through at a few bytes per row. The crawl
+    frontier carries (depth, discovery_pos) this way instead of joining the
+    parse output back to the fetched-keys table: at 10^7-pages/round scale
+    that join shuffled every candidate link row (~12x the round size) just to
+    re-attach two integers the parse input already had.
+
+    ``slim`` drops the (text, kind) columns from the output — the frontier
+    never reads them, and at 10^7 pages/round the anchor text alone is
+    ~0.5-1 GB of Arrow transfer plus the same again through the links pin
+    on a memory-bandwidth-bound stage."""
+    base = (
+        [f for f in PAGINATION_SCHEMA.fields if f.name not in ("text", "kind")]
+        if slim
+        else list(PAGINATION_SCHEMA.fields)
+    )
+    carry_schema = StructType(base + [StructField(c, LongType()) for c in carry])
+    cols = tuple(f.name for f in carry_schema.fields)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in
-                                    ("task", "page_url", "link_pos", "url", "text", "kind")}
+            out: dict[str, list] = {k: [] for k in cols}
             for row in pdf.itertuples(index=False):
                 html = _html_of(row.html)
                 meta = listing.extract_pagination_meta(row.url, html, row.start_url)
-                kinds = {meta[k]: k for k in ("next", "prev", "first", "last") if meta[k]}
+                kinds = (
+                    {}
+                    if slim
+                    else {meta[k]: k for k in ("next", "prev", "first", "last") if meta[k]}
+                )
+                carried = [(c, getattr(row, c)) for c in carry]
                 for pos, item in enumerate(meta["links"]):
                     out["task"].append(row.task)
                     out["page_url"].append(row.url)
                     out["link_pos"].append(pos)
                     out["url"].append(item["url"])
-                    out["text"].append(item["text"])
-                    out["kind"].append(kinds.get(item["url"]))
+                    if not slim:
+                        out["text"].append(item["text"])
+                        out["kind"].append(kinds.get(item["url"]))
+                    for c, v in carried:
+                        out[c].append(v)
             yield _frame(out)
 
-    return pages.mapInPandas(run, PAGINATION_SCHEMA)
+    return pages.mapInPandas(run, carry_schema)
 
 
 def parse_detail_attachments(pages: DataFrame) -> DataFrame:

@@ -84,6 +84,18 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill scratch. On a single box every executor thread shares one
+    # disk, so shuffle I/O serializes no matter how many cores run — the r4
+    # stage profile measured the positions stage at ~53 s/big-round at BOTH
+    # 4 and 16 cores for exactly this reason. A real fleet has per-executor
+    # local disks (aggregate bandwidth scales with N); pointing local.dir at
+    # tmpfs (e.g. SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local) emulates that
+    # for single-box scaling measurements. Opt-in only: tmpfs scratch is
+    # bounded by RAM, wrong for jobs whose shuffle exceeds it.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ivf_topk",                 # IVF-probed ANN search (r3)
     "link_pagerank",            # iterative link-graph priority scores (r3)
     "paragraph_dedup",          # sub-document first-wins dedup (r3)
+    "repeated_span_stats",      # ExactSubstr repeated-window contamination (r4)
     "url_canonicalize",         # frontier dedup-key normalization (r3)
     "ivf_kmeans_topk",          # learned-centroid IVF ANN, label-free (r4)
     "incremental_simhash_dedup",# batch-vs-index dedup-before-store (r4)

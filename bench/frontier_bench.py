@@ -65,11 +65,19 @@ def main() -> None:
         "does not land in round 0 of the timed window (VERDICT r2 item 6: "
         "the three-level round-0 identity showed warm-up dominating)",
     )
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="override the local[cpus] master — e.g. local-cluster[4,4,16384] "
+        "runs 4 SEPARATE executor JVMs of 4 cores each (the sandbox analog "
+        "of the north rule's 'N and 4N executors via spark-submit'); --cpus "
+        "must still state the TOTAL core count for shuffle sizing",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
         app_name=f"frontier_bench_{args.cpus}",
-        master=f"local[{args.cpus}]",
+        master=args.master or f"local[{args.cpus}]",
         shuffle_partitions=max(args.cpus, 8),
         # 128 GiB box: a tight heap makes GC the scaling bottleneck at high
         # thread counts — size like a real executor fleet would be sized
@@ -218,6 +226,7 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": args.cpus,
+                "master": args.master or f"local[{args.cpus}]",
                 "pages": n_pages,
                 "bucketed_pages": args.bucketed_pages,
                 "rounds": len(metrics),

@@ -388,6 +388,89 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# span length for ExactSubstr-style repeated-window statistics. Lee et al.
+# use 50 BPE tokens on web corpora; 10 whitespace tokens matches the
+# synthetic documents' length scale while keeping the same semantics.
+_SPAN_TOKENS = 10
+
+
+def repeated_span_stats(spark, sf_dir):
+    """ExactSubstr-style repeated-span statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Every ``_SPAN_TOKENS``-token window of every document is hashed; a span
+    is duplicated if its hash occurs anywhere else in the corpus (any
+    document, including the same one — the paper's definition). Returns
+    per-doc (doc_id, n_spans, n_dup_spans, dup_span_fraction): the
+    contamination measure production pipelines threshold before training,
+    complementing ``paragraph_dedup`` (which removes aligned chunks) by
+    catching duplication at ARBITRARY offsets.
+
+    Scale notes (100 TB): windows explode map-side into (doc_id, h) rows —
+    the 48-bit hash is computed inside the projection, so the shuffle moves
+    ~16-byte rows, never the span strings. One hash-shuffle on h (the
+    corpus-wide occurrence count), one on doc_id (the rollup); both
+    equi-key, no global sort, no pair materialization. A rolling
+    Rabin-Karp hash would cut map-side CPU from O(K·n) to O(n) per doc;
+    the md5 window hash is kept because the DuckDB oracle must be
+    value-identical. Docs shorter than the span emit zero windows and
+    surface with n_spans = 0 / NULL fraction.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    # guard short docs explicitly: F.sequence(1, stop) with stop < 1 would
+    # generate a DESCENDING sequence, not an empty one
+    idx = F.when(
+        n >= F.lit(_SPAN_TOKENS), F.sequence(F.lit(1), n - (_SPAN_TOKENS - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx, lambda i: _hash48(F.array_join(F.slice(toks, i, _SPAN_TOKENS), " "))
+    )
+    ex = d.select("doc_id", F.explode(spans).alias("h"))
+    dup = (F.count(F.lit(1)).over(Window.partitionBy("h")) > 1).cast("long")
+    per = (
+        ex.withColumn("dup", dup)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("dup").alias("n_dup_spans"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.coalesce("n_spans", F.lit(0)) > 0,
+            F.col("n_dup_spans") / F.col("n_spans"),
+        ).alias("dup_span_fraction"),
+    )
+
+
+REPEATED_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         {_HASH48_SQL.format(c=f"array_to_string(toks[i:i+{_SPAN_TOKENS - 1}], ' ')")} AS h
+  FROM t, UNNEST(generate_series(1, greatest(length(toks) - {_SPAN_TOKENS - 1}, 0))) AS s(i)
+),
+c AS (SELECT h, count(*) AS cnt FROM pos GROUP BY h),
+perdoc AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM pos p JOIN c USING (h) GROUP BY p.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_spans, 0) AS n_spans,
+       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(s.n_spans, 0) > 0 THEN s.n_dup_spans / s.n_spans
+            END AS dup_span_fraction
+FROM documents d LEFT JOIN perdoc s USING (doc_id)
+"""
+
+
 def _shingles(col, k=3):
     """Distinct word k-shingles as strings (1-based element_at)."""
     toks = _tokens(col)
@@ -853,6 +936,7 @@ QUERIES = {
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "repeated_span_stats": (repeated_span_stats, REPEATED_SPAN_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),

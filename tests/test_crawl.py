@@ -543,3 +543,29 @@ def test_crawl_from_bucketed_table_matches_plain(spark, tmp_path):
         assert sh.crawl_order() == plain.crawl_order()
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_b_site")
+
+
+def test_parse_pagination_carry_and_slim_match_full(spark, pages):
+    """The frontier's carry/slim parse (one shuffle join removed per round)
+    must emit the SAME link set as the full parse, with the carried
+    (depth, discovery_pos) equal to the parent page's input values."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.parsers import udfs
+
+    inp = (
+        pages.withColumn("task", F.lit("t"))
+        .withColumn("start_url", F.lit(START))
+        .withColumn("depth", F.lit(3).cast("long"))
+        .withColumn("discovery_pos", F.monotonically_increasing_id())
+    )
+    full = udfs.parse_pagination_links(inp)
+    slim = udfs.parse_pagination_links(inp, carry=("depth", "discovery_pos"), slim=True)
+    assert slim.columns == ["task", "page_url", "link_pos", "url", "depth", "discovery_pos"]
+    f = {(r.task, r.page_url, r.link_pos, r.url) for r in full.collect()}
+    s_rows = slim.collect()
+    assert len(s_rows) > 0
+    assert f == {(r.task, r.page_url, r.link_pos, r.url) for r in s_rows}
+    pos_by_url = {r.url: r.discovery_pos for r in inp.select("url", "discovery_pos").collect()}
+    assert all(r.depth == 3 for r in s_rows)
+    assert all(r.discovery_pos == pos_by_url[r.page_url] for r in s_rows)

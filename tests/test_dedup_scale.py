@@ -319,3 +319,34 @@ def test_minhash_lsh_measured_recall(spark):
     got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_DIR).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.92, f"measured recall {recall:.3f} < documented 0.92"
+
+
+def test_repeated_span_stats_arbitrary_offset(spark, tmp_path):
+    """ExactSubstr semantics: a 30-token block embedded at a DIFFERENT
+    offset inside another document must be caught window-for-window —
+    this is exactly what aligned-chunk paragraph_dedup cannot see."""
+    from icrawler_spark.queries.textops import _SPAN_TOKENS, repeated_span_stats
+
+    k = _SPAN_TOKENS
+    base = " ".join(f"w{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(30))
+    shifted = " ".join(f"x{i}" for i in range(5)) + " " + uniq + " " + " ".join(
+        f"y{i}" for i in range(5)
+    )
+    docs = [(1, base), (2, base), (3, "too short"), (4, uniq), (5, shifted)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in repeated_span_stats(spark, str(tmp_path)).collect()}
+
+    n30 = 30 - k + 1  # windows in a 30-token doc
+    # identical docs: every window duplicated
+    assert (out[1].n_spans, out[1].n_dup_spans, out[1].dup_span_fraction) == (n30, n30, 1.0)
+    assert out[2].n_dup_spans == n30
+    # sub-span docs emit nothing and keep a NULL fraction
+    assert (out[3].n_spans, out[3].n_dup_spans, out[3].dup_span_fraction) == (0, 0, None)
+    # the embedded block: all of doc 4's windows recur inside doc 5 at
+    # offset +5; doc 5's duplicated windows are exactly those lying fully
+    # inside the block (starts 6..26), while boundary-straddling ones stay
+    # unique
+    assert (out[4].n_spans, out[4].n_dup_spans) == (n30, n30)
+    assert (out[5].n_spans, out[5].n_dup_spans) == (40 - k + 1, 30 - k + 1)

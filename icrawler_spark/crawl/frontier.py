@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..parsers import udfs
 from . import bloom as bloom_mod
+from . import cuckoo as cuckoo_mod
 from .state import SnapshotStore, merge_documents, merge_entries, merge_seen, resolve_entry_identity
 
 
@@ -61,6 +62,9 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
+    seen_filter: str = "bloom"         # "bloom" | "cuckoo" (north_rule names
+                                       # both; cuckoo adds O(1) deletion for
+                                       # recrawl invalidation — cuckoo.py)
     parse_entries: bool = True         # off for pure-frontier benchmarks
     download_docs: bool = False        # run the document download stage per round
     allowed_types: list[str] | None = None  # download-type filter (ref 588-590)
@@ -281,9 +285,16 @@ class CrawlEngine:
         else:
             self._visited_parts = [merged.localCheckpoint(eager=True)]
 
+    @property
+    def _sketch_mod(self):
+        """Approximate seen-filter backend: bloom (default) or cuckoo. Both
+        expose build_filter / prefilter_unseen / merge with the same routing
+        contract (false positive → redundant exact check, never a drop)."""
+        return cuckoo_mod if self.cfg.seen_filter == "cuckoo" else bloom_mod
+
     def _bloom_add_batch(self, batch: DataFrame) -> None:
         cfg = self.cfg
-        delta = bloom_mod.build_bloom(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
+        delta = self._sketch_mod.build_filter(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
         if self._bloom is None:
             self._bloom = delta
         else:
@@ -330,7 +341,7 @@ class CrawlEngine:
                 ) + 1
                 self._n_pending = self.pending.count()
                 if self.cfg.use_bloom:
-                    self._bloom = bloom_mod.build_bloom(
+                    self._bloom = self._sketch_mod.build_filter(
                         self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
                     )
                 self._round = last + 1
@@ -667,7 +678,7 @@ class CrawlEngine:
                 # routes definitely-new links around the exact anti-join
                 bc = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
                 self._bloom_bc = bc
-                flagged = bloom_mod.prefilter_unseen(new_links, "url", bc)
+                flagged = self._sketch_mod.prefilter_unseen(new_links, "url", bc)
                 definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
                 maybe = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
                 survivors = maybe.join(self.visited.select("url"), "url", "left_anti")

@@ -569,3 +569,53 @@ def test_parse_pagination_carry_and_slim_match_full(spark, pages):
     pos_by_url = {r.url: r.discovery_pos for r in inp.select("url", "discovery_pos").collect()}
     assert all(r.depth == 3 for r in s_rows)
     assert all(r.discovery_pos == pos_by_url[r.page_url] for r in s_rows)
+
+
+def test_cuckoo_no_false_negatives_and_fpp():
+    from icrawler_spark.crawl.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=10_000)
+    added = pd.Series([f"https://h{i % 7}.test/p/{i}.html" for i in range(5000)])
+    cf.add_many(added)
+    assert cf.might_contain_many(added).all()
+    probes = pd.Series([f"https://other{i}.test/x/{i}" for i in range(5000)])
+    assert cf.might_contain_many(probes).mean() < 0.01  # ~1.2e-4 by design
+
+
+def test_cuckoo_roundtrip_merge_delete_determinism():
+    from icrawler_spark.crawl.cuckoo import CuckooFilter
+
+    vals = pd.Series([f"u{i}" for i in range(800)])
+    a = CuckooFilter(capacity=1000)
+    b = CuckooFilter(capacity=1000)
+    a.add_many(vals[:400])
+    b.add_many(vals[400:])
+    merged = CuckooFilter.from_bytes(a.to_bytes()).merge(b)
+    assert merged.might_contain_many(vals).all()
+    # deletion — the capability bloom lacks (recrawl invalidation)
+    assert merged.delete_many(vals[:100]).all()
+    assert merged.might_contain_many(vals[100:]).all()
+    assert merged.might_contain_many(vals[:100]).mean() < 0.02
+    # byte-identical rebuild (kick loop is RNG-free)
+    x1, x2 = CuckooFilter(capacity=1000), CuckooFilter(capacity=1000)
+    x1.add_many(vals)
+    x2.add_many(vals)
+    assert x1.to_bytes() == x2.to_bytes()
+    # idempotent re-add doesn't consume slots
+    n0 = x1.n_items
+    x1.add_many(vals)
+    assert x1.n_items == n0
+
+
+def test_cuckoo_engine_matches_exact_only(spark, site, pages):
+    """Same equality gate as bloom's: the cuckoo-routed crawl is bit-equal
+    to the exact-anti-join-only crawl (false positives only ever cost a
+    redundant exact check)."""
+    e1 = CrawlEngine(spark, pages, CrawlConfig(start_url=START, use_bloom=False))
+    e1.run()
+    e2 = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, use_bloom=True, seen_filter="cuckoo")
+    )
+    e2.run()
+    assert e1.crawl_order() == e2.crawl_order()
+    assert e1.seen_urls() == e2.seen_urls()

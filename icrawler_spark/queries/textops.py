@@ -927,6 +927,124 @@ SELECT new_id AS doc_id, index_id AS dup_of, hamming FROM (
 """
 
 
+# --- domain-level curation -----------------------------------------------------
+
+# C4-style (Raffel et al. 2020 §2.2) deterministic blocklists: domains dropped
+# wholesale, plus a bad-word term filter with a per-doc occurrence threshold.
+# On a real corpus these come from UT1/badwords lists; here they are fixed
+# in-query constants so the op (and its oracle) is self-contained.
+_BLOCKED_SOURCES = ("src2", "src7", "src13")
+_BAD_WORDS = ("slow", "dup")
+_BAD_WORD_MAX = 3  # > this many occurrences → filtered
+
+
+def blocklist_filter(spark, sf_dir):
+    """C4-style blocklist gate: per-doc verdict with the *reason* columns a
+    curation audit needs (blocked_source, n_bad_words, keep). 100 TB shape:
+    pure codegen map stage — the source set and term list are literals folded
+    into the plan (a production run broadcasts them); no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_bad = F.size(F.filter(toks, lambda t: t.isin(*_BAD_WORDS))).cast("long")
+    blocked_src = F.col("source").isin(*_BLOCKED_SOURCES)
+    return d.select(
+        "doc_id",
+        "source",
+        blocked_src.alias("blocked_source"),
+        n_bad.alias("n_bad_words"),
+        (~blocked_src & (n_bad <= F.lit(_BAD_WORD_MAX))).alias("keep"),
+    )
+
+
+_BLOCKED_SRC_SQL = ", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)
+_BAD_WORDS_SQL = ", ".join(f"'{w}'" for w in _BAD_WORDS)
+
+BLOCKLIST_FILTER_SQL = f"""
+SELECT doc_id, source,
+       source IN ({_BLOCKED_SRC_SQL}) AS blocked_source,
+       n_bad_words,
+       (source NOT IN ({_BLOCKED_SRC_SQL}) AND n_bad_words <= {_BAD_WORD_MAX}) AS keep
+FROM (
+  SELECT doc_id, source,
+         CAST(length(list_filter({_TOKENS_SQL.format(c='text')},
+                                 x -> x IN ({_BAD_WORDS_SQL}))) AS BIGINT) AS n_bad_words
+  FROM documents
+)
+"""
+
+
+def domain_stats(spark, sf_dir):
+    """Per-domain curation rollup (the FineWeb/RefinedWeb domain table):
+    doc/duplicate counts plus domain-level quality ratios. Float discipline:
+    only exact BIGINT sums cross the aggregation (token/distinct/stopword
+    counts); the double ratios are computed once from the summed integers, so
+    Spark and DuckDB agree bit-for-bit regardless of reduction order.
+    100 TB shape: one hash-shuffle on ``source`` with map-side partial
+    aggregation; domains are ~10^7 keys, far below the doc count, and skewed
+    mega-domains are exactly what AQE skew-split handles."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+        .cast("long")
+        .alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum("n_dist").alias("sum_distinct"),
+        F.sum("n_stop").alias("sum_stopwords"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique_texts",
+        "sum_tokens",
+        "sum_chars",
+        ((F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs")).alias("dup_ratio"),
+        (F.col("sum_distinct") / F.col("sum_tokens")).alias("domain_ttr"),
+        (F.col("sum_stopwords") / F.col("sum_tokens")).alias("domain_stop_ratio"),
+        (
+            (F.col("sum_distinct") / F.col("sum_tokens")) * 2.0
+            + F.col("sum_stopwords") / F.col("sum_tokens")
+        ).alias("domain_quality"),
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+SELECT source, n_docs, n_unique_texts, sum_tokens, sum_chars,
+       (n_docs - n_unique_texts) / n_docs AS dup_ratio,
+       sum_distinct / sum_tokens AS domain_ttr,
+       sum_stopwords / sum_tokens AS domain_stop_ratio,
+       (sum_distinct / sum_tokens) * 2.0 + sum_stopwords / sum_tokens AS domain_quality
+FROM (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT h) AS n_unique_texts,
+         SUM(n_tok) AS sum_tokens,
+         SUM(n_dist) AS sum_distinct,
+         SUM(n_stop) AS sum_stopwords,
+         SUM(n_chars) AS sum_chars
+  FROM (
+    SELECT source, md5(text) AS h,
+           CAST(length(t) AS BIGINT) AS n_tok,
+           CAST(length(list_distinct(t)) AS BIGINT) AS n_dist,
+           CAST(length(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT source, text, {_TOKENS_SQL.format(c='text')} AS t FROM documents)
+  )
+  GROUP BY source
+)
+"""
+
+
 QUERIES = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_STATS_BPE_SQL),
@@ -943,4 +1061,6 @@ QUERIES = {
     "simhash": (simhash, SIMHASH_SQL),
     "simhash_dup_pairs": (simhash_dup_pairs, SIMHASH_DUP_SQL),
     "incremental_simhash_dedup": (incremental_simhash_dedup, INCREMENTAL_SIMHASH_DEDUP_SQL),
+    "blocklist_filter": (blocklist_filter, BLOCKLIST_FILTER_SQL),
+    "domain_stats": (domain_stats, DOMAIN_STATS_SQL),
 }

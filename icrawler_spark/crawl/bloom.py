@@ -119,9 +119,11 @@ def build_bloom(df, col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
     return merged
 
 
-# module-interface alias shared with cuckoo.py: the engine selects a sketch
-# backend (CrawlConfig.seen_filter) and calls build_filter/prefilter_unseen.
+# module-interface aliases shared with cuckoo.py: the engine selects a sketch
+# backend (CrawlConfig.seen_filter) and calls build_filter/prefilter_unseen/
+# Filter.from_bytes without knowing which it got.
 build_filter = build_bloom
+Filter = BloomFilter
 
 
 def prefilter_unseen(df, col: str, bloom_bytes_bc):

@@ -229,6 +229,11 @@ class CuckooFilter:
         return obj
 
 
+# module-interface alias (see bloom.py): the engine resolves the selected
+# backend's serialized class through ``Filter.from_bytes``.
+Filter = CuckooFilter
+
+
 def build_filter(df, col: str, capacity: int, fpp: float = 0.01):
     """Distributed build, same shape as ``bloom.build_bloom``: per-partition
     tables in executors (mapInPandas), geometry-equal merge on the driver.

@@ -38,6 +38,7 @@ data is collected.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -292,6 +293,13 @@ class CrawlEngine:
         contract (false positive → redundant exact check, never a drop)."""
         return cuckoo_mod if self.cfg.seen_filter == "cuckoo" else bloom_mod
 
+    def _sketch_path(self, rnd: int) -> str:
+        """Per-round serialized seen-filter blob, keyed by backend kind so a
+        config change between runs can never deserialize the wrong format."""
+        return os.path.join(
+            self.store.root, f"round={rnd:06d}", f"seen_sketch_{self.cfg.seen_filter}.bin"
+        )
+
     def _bloom_add_batch(self, batch: DataFrame) -> None:
         cfg = self.cfg
         delta = self._sketch_mod.build_filter(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
@@ -341,9 +349,17 @@ class CrawlEngine:
                 ) + 1
                 self._n_pending = self.pending.count()
                 if self.cfg.use_bloom:
-                    self._bloom = self._sketch_mod.build_filter(
-                        self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
-                    )
+                    # prefer the checkpointed sketch blob (committed with the
+                    # round); rebuild from visited only when absent (pre-blob
+                    # checkpoints, or a seen_filter kind change between runs)
+                    spath = self._sketch_path(last)
+                    if os.path.exists(spath):
+                        with open(spath, "rb") as fh:
+                            self._bloom = self._sketch_mod.Filter.from_bytes(fh.read())
+                    else:
+                        self._bloom = self._sketch_mod.build_filter(
+                            self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                        )
                 self._round = last + 1
                 return self._round
         seeded = self._seed_frontier()
@@ -862,6 +878,15 @@ class CrawlEngine:
         if self.store is not None:
             mdf = self.spark.createDataFrame([m.as_tuple()], _METRICS_SCHEMA)
             mdf.write.mode("overwrite").parquet(f"{self.store.root}/round={rnd:06d}/metrics")
+            # seen-filter shard checkpoint (north_rule: "checkpoints frontier,
+            # seen-filter shards, and per-partition lineage/metrics"): the
+            # serialized sketch lands inside the round dir BEFORE the commit
+            # marker, so resume loads it instead of re-scanning all of visited
+            # to rebuild. One shard in this sandbox; at 10^10 each of the
+            # pmod(hash, n_shards) shards writes its own blob the same way.
+            if cfg.use_bloom and self._bloom is not None:
+                with open(self._sketch_path(rnd), "wb") as fh:
+                    fh.write(self._bloom.to_bytes())
             with open(f"{self.store.root}/round={rnd:06d}/_COMMITTED", "w") as fh:
                 fh.write("ok\n")
         self._round += 1

@@ -619,3 +619,43 @@ def test_cuckoo_engine_matches_exact_only(spark, site, pages):
     e2.run()
     assert e1.crawl_order() == e2.crawl_order()
     assert e1.seen_urls() == e2.seen_urls()
+
+
+def test_seen_sketch_checkpointed_and_loaded_on_resume(spark, site, pages, tmp_path, monkeypatch):
+    """The serialized seen-filter is committed with each round and resume
+    loads the blob instead of rebuilding from a full visited scan (north_rule
+    'checkpoints frontier, seen-filter shards, and lineage/metrics')."""
+    import glob
+    import os
+
+    from icrawler_spark.crawl import bloom as bloom_mod
+
+    ckpt = str(tmp_path / "ckpt_sketch")
+    full = CrawlEngine(spark, pages, CrawlConfig(start_url=START, max_rounds=20))
+    full.run()
+
+    CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=1, checkpoint_dir=ckpt)
+    ).run()
+    blobs = glob.glob(os.path.join(ckpt, "round=*", "seen_sketch_bloom.bin"))
+    assert blobs, "sketch blob not committed with the round"
+
+    # resume must NOT rebuild: poison build_filter across resume_or_init only
+    # (the per-round incremental build during the resumed crawl is legitimate)
+    def _boom(*a, **k):
+        raise AssertionError("resume rebuilt the seen filter instead of loading the blob")
+
+    resumed = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=20, checkpoint_dir=ckpt)
+    )
+    real = bloom_mod.build_filter
+    monkeypatch.setattr(bloom_mod, "build_filter", _boom)
+    resumed.resume_or_init()
+    assert resumed._bloom is not None and resumed._bloom.might_contain_many(
+        pd.Series([START])
+    ).all()
+    monkeypatch.setattr(bloom_mod, "build_filter", real)
+    resumed.run()
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_urls() == full.seen_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -1045,6 +1045,52 @@ FROM (
 """
 
 
+# --- corpus mixing / deterministic sampling -----------------------------------
+
+# Per-domain sampling rates in permille (the training-mix weights step —
+# DoReMi/Pile-style source reweighting executed as a filter). Hash-bucket
+# sampling keeps the op deterministic, stateless, and exactly reproducible on
+# any cluster size: a doc's fate depends only on its id, never on partition
+# layout or RNG state.
+_MIX_RATES_PERMILLE = {"src0": 1000, "src1": 900, "src2": 0, "src3": 250}
+_MIX_DEFAULT_PERMILLE = 500
+
+
+def corpus_mix_sample(spark, sf_dir):
+    """Deterministic domain-weighted sampling: keep a doc iff its 48-bit
+    md5 hash bucket (mod 1000) falls under its source's permille rate.
+    100 TB shape: pure codegen map stage, no shuffle, no RNG; downsampling a
+    source to r‰ reads as `bucket < r` so re-runs and resumes pick the SAME
+    subset (idempotent sampling is what makes mix experiments comparable)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT_PERMILLE)
+    for src, r in sorted(_MIX_RATES_PERMILLE.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000))
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.cast("long").alias("bucket"),
+        rate.cast("long").alias("rate_permille"),
+        (bucket < rate).alias("sampled"),
+    )
+
+
+_MIX_CASE_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_MIX_RATES_PERMILLE.items())
+) + f" ELSE {_MIX_DEFAULT_PERMILLE} END"
+
+CORPUS_MIX_SAMPLE_SQL = f"""
+SELECT doc_id, source, bucket, rate_permille, bucket < rate_permille AS sampled
+FROM (
+  SELECT doc_id, source,
+         {_HASH48_SQL.format(c='CAST(doc_id AS VARCHAR)')} % 1000 AS bucket,
+         CAST({_MIX_CASE_SQL} AS BIGINT) AS rate_permille
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_STATS_BPE_SQL),
@@ -1063,4 +1109,5 @@ QUERIES = {
     "incremental_simhash_dedup": (incremental_simhash_dedup, INCREMENTAL_SIMHASH_DEDUP_SQL),
     "blocklist_filter": (blocklist_filter, BLOCKLIST_FILTER_SQL),
     "domain_stats": (domain_stats, DOMAIN_STATS_SQL),
+    "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SAMPLE_SQL),
 }

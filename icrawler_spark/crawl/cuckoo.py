@@ -107,24 +107,22 @@ class CuckooFilter:
     # -- bulk API (mirrors BloomFilter) ----------------------------------------
 
     def add_many(self, values: pd.Series) -> None:
-        """Bulk insert. The common case is fully vectorized: group items by
-        their i1 bucket, rank within the group (argsort + cumcount), and write
-        every item whose rank fits the bucket's free slots in one scatter;
-        repeat once for i2; only the residue (items whose BOTH buckets filled
-        up this batch — a few % below 0.9 load) walks the per-item kick loop."""
+        """Bulk insert with MULTISET semantics: every value stores its own
+        fingerprint copy, even when two values collide on the same (bucket,
+        fingerprint) pair. This is what makes ``delete_many`` exactness-safe
+        for the engine: deleting a value added exactly once removes ONE copy,
+        so any colliding value still holds its own copy and can never go
+        false-negative (an idempotent-skip add would share one copy between
+        colliding values — deleting either would silently drop the other).
+
+        The common case is fully vectorized: group items by their i1 bucket,
+        rank within the group (argsort + cumcount), and write every item
+        whose rank fits the bucket's free slots in one scatter; repeat once
+        for i2; only the residue (items whose BOTH buckets filled up this
+        batch — a few % below 0.9 load) walks the per-item kick loop."""
         if len(values) == 0:
             return
         i1, fp = self._keys(values)
-        # drop exact duplicate (bucket, fingerprint) pairs within the batch —
-        # a seen-set is idempotent, and duplicate fingerprints would otherwise
-        # eat slots (same dedup a bloom OR gives for free).
-        pairs = (i1.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
-        _, keep = np.unique(pairs, return_index=True)
-        i1, fp = i1[np.sort(keep)], fp[np.sort(keep)]
-        # also skip items already present in the table (idempotent re-add)
-        fresh = ~self._contains_keys(i1, fp)
-        i1, fp = i1[fresh], fp[fresh]
-
         leftover_i, leftover_f = self._bulk_place(i1, fp)
         if len(leftover_i):
             alt = _alt_index(leftover_i, leftover_f, self.mask)
@@ -174,9 +172,12 @@ class CuckooFilter:
 
     def delete_many(self, values: pd.Series) -> np.ndarray:
         """Remove one matching fingerprint per value; returns a bool mask of
-        which values were found. Only items previously added may be deleted
-        (the standard cuckoo-filter contract) — deleting a never-added value
-        can, with fpp probability, evict a colliding item's fingerprint."""
+        which values were found. Safe for any value added exactly once and
+        not yet deleted (multiset adds guarantee it holds its own copy, so no
+        OTHER value can go false-negative). Deleting a never-added value can,
+        with fpp probability, evict a colliding item's copy — callers must
+        intersect with the known-added set first (the engine intersects with
+        ``visited``)."""
         out = np.zeros(len(values), dtype=bool)
         if len(values) == 0:
             return out
@@ -202,9 +203,10 @@ class CuckooFilter:
         occ_i, occ_slot = np.nonzero(other.table)
         fps = other.table[occ_i, occ_slot]
         if len(occ_i):
+            # every occupied slot re-inserts (multiset-preserving: no dedup
+            # against self — see add_many's deletion-safety contract)
             idx = occ_i.astype(np.uint64)
-            fresh = ~self._contains_keys(idx, fps)
-            lo_i, lo_f = self._bulk_place(idx[fresh], fps[fresh])
+            lo_i, lo_f = self._bulk_place(idx, fps)
             if len(lo_i):
                 alt = _alt_index(lo_i, lo_f, self.mask)
                 lo_i, lo_f = self._bulk_place(alt, lo_f)

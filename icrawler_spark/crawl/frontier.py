@@ -219,6 +219,9 @@ class CrawlEngine:
         self._n_pending = 0
         self._bloom: bloom_mod.BloomFilter | None = None
         self._bloom_bc = None  # this round's broadcast; destroyed next round
+        self._force_compact = False  # set by invalidate_urls: persist the
+                                     # shrunken visited with the next commit
+        self._initialized = False    # resume_or_init runs once per engine
         self._simhash_index: DataFrame | None = None  # (url, simhash) of all
                                                       # stored (non-dup) pages
         self._last_big_round = False  # routing taken by the latest round (tests)
@@ -275,8 +278,9 @@ class CrawlEngine:
         checkpoint mode the snapshot lands as ``visited_full`` inside the
         round dir (before the commit marker) and resume prefers it."""
         k = self.cfg.compact_visited_every
-        if k <= 0 or len(self._visited_parts) < k:
+        if not self._force_compact and (k <= 0 or len(self._visited_parts) < k):
             return
+        self._force_compact = False
         merged = self._union_visited()
         if self.store is not None:
             merged.write.mode("overwrite").parquet(
@@ -309,7 +313,15 @@ class CrawlEngine:
             self._bloom.merge(delta)
 
     def resume_or_init(self) -> int:
-        """Resume from the last committed round, else initialize round 0."""
+        """Resume from the last committed round, else initialize round 0.
+
+        Idempotent within an engine's lifetime: once initialized, further
+        calls (e.g. ``run()`` after ``invalidate_urls``) are no-ops — they
+        must not re-seed a live frontier or roll back in-memory state to the
+        last committed round."""
+        if self._initialized:
+            return self._round
+        self._initialized = True
         if self.store is not None:
             last = self.store.latest_committed_round()
             if last is not None:
@@ -901,6 +913,83 @@ class CrawlEngine:
                 break
             self.run_round()
         return self.metrics
+
+    def invalidate_urls(self, urls_df: DataFrame) -> int:
+        """Recrawl invalidation — the monitor loop's "this page changed,
+        refetch it" (ref pbc_monitor.py:1137-1207) WITHOUT restarting the
+        engine: forget the given URLs from the visited seen-set, drop them
+        from the seen-filter sketch, and re-enqueue them at the frontier tail
+        (FIFO, ordered by url for determinism). Subsequent ``run()`` rounds
+        refetch exactly these pages; their outlinks still dedup against the
+        (shrunken) visited set, so nothing else is re-crawled.
+
+        Sketch maintenance is where the backend choice shows: cuckoo removes
+        the fingerprints in O(batch) driver time (each visited url was added
+        exactly once — the multiset-delete safety contract); bloom cannot
+        un-set bits, so the filter is rebuilt from the kept visited table
+        (one distributed pass). The invalidation batch is politeness-bounded
+        (a recrawl schedule round), so the driver-side url collect for the
+        cuckoo delete is small by construction.
+
+        Durability contract in checkpoint mode: the invalidation joins the
+        NEXT round's atomic commit (a forced visited_full compaction rides
+        that round, before its marker). A kill before that commit resumes
+        pre-invalidation state — same all-or-nothing semantics as any other
+        mid-round mutation. Returns the number of URLs actually invalidated
+        (those present in visited; unknown URLs are ignored, which also keeps
+        the cuckoo delete safe — never delete what was never added)."""
+        merged = self._union_visited()
+        if merged is None:
+            return 0
+        urls = urls_df.select("url").distinct()
+        hit = (
+            merged.join(urls, "url", "left_semi")
+            .select("url")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = hit.count()
+        if n == 0:
+            return 0
+        kept = merged.join(hit, "url", "left_anti").localCheckpoint(eager=True)
+        self._visited_parts = [kept]
+        self.visited = kept
+        self._force_compact = True  # next committed round persists the removal
+
+        # re-enqueue at the frontier tail, FIFO by url
+        w = Window.orderBy("url")
+        requeued = hit.select(
+            F.lit(self.cfg.task).alias("task"),
+            "url",
+            _netloc_col(F.col("url")).alias("netloc"),
+            F.lit(0).alias("depth"),
+            F.lit(self._round).alias("discovered_round"),
+            (F.row_number().over(w) - 1 + F.lit(self._next_pos))
+            .cast("long")
+            .alias("discovery_pos"),
+        )
+        self._next_pos += n
+        if self.pending is not None:
+            pending = self.pending.join(hit, "url", "left_anti").unionByName(
+                requeued.select(*self.pending.columns)
+            )
+        else:
+            pending = requeued
+        self.pending = pending.localCheckpoint(eager=True)
+        self._n_pending = self.pending.count()
+
+        if self.cfg.use_bloom and self._bloom is not None:
+            if self.cfg.seen_filter == "cuckoo":
+                import pandas as pd
+
+                removed = pd.Series([r.url for r in hit.collect()])
+                found = self._bloom.delete_many(removed)
+                assert found.all(), "visited url missing from cuckoo filter"
+            else:
+                self._bloom = self._sketch_mod.build_filter(
+                    self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                )
+        return n
 
     # -- results ---------------------------------------------------------------
 

@@ -601,10 +601,13 @@ def test_cuckoo_roundtrip_merge_delete_determinism():
     x1.add_many(vals)
     x2.add_many(vals)
     assert x1.to_bytes() == x2.to_bytes()
-    # idempotent re-add doesn't consume slots
+    # multiset semantics (deletion safety): re-add stores a second copy, so
+    # one delete leaves the value still present
     n0 = x1.n_items
-    x1.add_many(vals)
-    assert x1.n_items == n0
+    x1.add_many(vals[:10])
+    assert x1.n_items == n0 + 10
+    assert x1.delete_many(vals[:10]).all()
+    assert x1.might_contain_many(vals[:10]).all()
 
 
 def test_cuckoo_engine_matches_exact_only(spark, site, pages):
@@ -658,4 +661,59 @@ def test_seen_sketch_checkpointed_and_loaded_on_resume(spark, site, pages, tmp_p
     resumed.run()
     assert resumed.crawl_order() == full.crawl_order()
     assert resumed.seen_urls() == full.seen_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_invalidate_urls_refetches_only_those(spark, site, pages, kind):
+    """Recrawl invalidation: invalidated pages are refetched at the frontier
+    tail; everything else (including their outlinks) stays deduped."""
+    eng = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=40, seen_filter=kind)
+    )
+    eng.run()
+    order0 = eng.crawl_order()
+    targets = sorted(set(order0))[:2]
+
+    n = eng.invalidate_urls(
+        spark.createDataFrame([(u,) for u in targets], "url string")
+    )
+    assert n == 2
+    eng.run()
+    order1 = eng.crawl_order()
+    assert sorted(order1) == sorted(order0)      # same url set, no dups
+    assert order1[-2:] == targets                 # refetched at the tail (FIFO by url)
+    assert len(order1) == len(order0)
+    # unknown urls are ignored (also keeps cuckoo deletion safe)
+    assert (
+        eng.invalidate_urls(
+            spark.createDataFrame([("https://never.seen.test/x",)], "url string")
+        )
+        == 0
+    )
+
+
+def test_invalidate_survives_checkpoint_resume(spark, site, pages, tmp_path):
+    """The invalidation joins the next round's atomic commit: after the
+    refetch round commits, a fresh engine resuming from disk sees the
+    post-invalidation visited log."""
+    ckpt = str(tmp_path / "ckpt_inval")
+    eng = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=40, checkpoint_dir=ckpt)
+    )
+    eng.run()
+    order0 = eng.crawl_order()
+    targets = sorted(set(order0))[:2]
+    assert eng.invalidate_urls(
+        spark.createDataFrame([(u,) for u in targets], "url string")
+    ) == 2
+    eng.run()  # refetch round commits (with the forced visited_full compaction)
+    final = eng.crawl_order()
+    assert final[-2:] == targets
+
+    resumed = CrawlEngine(
+        spark, pages, CrawlConfig(start_url=START, max_rounds=40, checkpoint_dir=ckpt)
+    )
+    resumed.resume_or_init()
+    assert resumed.crawl_order() == final
     shutil.rmtree(ckpt, ignore_errors=True)

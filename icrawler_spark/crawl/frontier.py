@@ -169,6 +169,7 @@ class CrawlEngine:
         robots_rules: DataFrame | None = None,
         seeds_df: DataFrame | None = None,
         priority_df: DataFrame | None = None,
+        host_budgets_df: DataFrame | None = None,
     ):
         """``seeds_df`` (url string, pos long — pos unique, FIFO order) seeds
         the frontier DISTRIBUTED: a 10^7+-URL recrawl list must come from a
@@ -201,6 +202,22 @@ class CrawlEngine:
             .agg(F.max("priority").alias("priority"))
             .localCheckpoint(eager=True)
             if priority_df is not None
+            else None
+        )
+        # per-host budget overrides (netloc, host_budget) — the Crawl-delay
+        # politeness channel (robots.robots_budgets_df maps delay seconds to
+        # a per-round cap). Strictest row wins on duplicates; hosts absent
+        # here fall back to cfg.host_budget (or unlimited). Pinned once,
+        # broadcast into the politeness window every round.
+        self._host_budgets_df = (
+            host_budgets_df.select(
+                F.lower(F.col("netloc")).alias("netloc"),
+                F.col("host_budget").cast("long").alias("host_budget"),
+            )
+            .groupBy("netloc")
+            .agg(F.min("host_budget").alias("_hb"))
+            .localCheckpoint(eager=True)
+            if host_budgets_df is not None
             else None
         )
         self.store = SnapshotStore(spark, config.checkpoint_dir) if config.checkpoint_dir else None
@@ -485,7 +502,7 @@ class CrawlEngine:
         pending = self.pending
         n_pending_before = self._n_pending
         order = [F.asc("discovered_round"), F.asc("discovery_pos")]
-        if cfg.host_budget is not None:
+        if cfg.host_budget is not None or self._host_budgets_df is not None:
             ranked = pending
             if self._priority_df is not None:
                 # priority frontier: importance-first within each host's
@@ -501,8 +518,26 @@ class CrawlEngine:
             ranked = ranked.withColumn("_hrk", F.row_number().over(w))
             if self._priority_df is not None:
                 ranked = ranked.drop("priority")
-            batch = ranked.where(F.col("_hrk") <= cfg.host_budget).drop("_hrk")
-            deferred = ranked.where(F.col("_hrk") > cfg.host_budget).drop("_hrk")
+            if self._host_budgets_df is not None:
+                # per-host Crawl-delay caps override the global budget; the
+                # budgets table is host-count-sized → always broadcast, no
+                # extra shuffle on the frontier side. NULL cap (no row and
+                # no global budget) = unlimited.
+                default_cap = (
+                    F.lit(cfg.host_budget).cast("long")
+                    if cfg.host_budget is not None
+                    else F.lit(None).cast("long")
+                )
+                ranked = ranked.join(F.broadcast(self._host_budgets_df), "netloc", "left")
+                cap = F.coalesce(F.col("_hb"), default_cap)
+                keep = cap.isNull() | (F.col("_hrk") <= cap)
+                batch = ranked.where(keep).drop("_hrk", "_hb")
+                deferred = ranked.where(cap.isNotNull() & (F.col("_hrk") > cap)).drop(
+                    "_hrk", "_hb"
+                )
+            else:
+                batch = ranked.where(F.col("_hrk") <= cfg.host_budget).drop("_hrk")
+                deferred = ranked.where(F.col("_hrk") > cfg.host_budget).drop("_hrk")
         else:
             batch = pending
             deferred = None

@@ -97,3 +97,52 @@ def apply_robots_filter(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         .where(F.coalesce(F.col("allow"), F.lit(True)))
         .select(*frontier.columns)
     )
+
+
+def parse_crawl_delay(text: str) -> float | None:
+    """``Crawl-delay`` seconds from the ``User-agent: *`` group, if any.
+
+    The directive is a de-facto extension (honored by Bing/Yandex; RFC 9309
+    leaves it out), so parsing is lenient: last value in our group wins,
+    non-numeric / negative values are ignored."""
+    applies = False
+    delay: float | None = None
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            applies = value == "*"
+        elif field == "crawl-delay" and applies:
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                delay = d
+    return delay
+
+
+BUDGETS_SCHEMA = "netloc string, host_budget bigint"
+
+
+def robots_budgets_df(spark, robots_docs: dict[str, str], round_seconds: float = 60.0) -> DataFrame:
+    """Crawl-delay → per-host per-round fetch budgets.
+
+    The batch-iterative engine has no per-request sleep; a delay of ``d``
+    seconds maps onto the round model as "at most ``round_seconds / d``
+    fetches for this host per round" (min 1 — a delay longer than the round
+    still makes progress, one fetch per round, which is the budget model's
+    granularity floor). Hosts without a Crawl-delay get no row — the
+    engine's global ``host_budget`` (or unlimited) applies."""
+    rows = []
+    for netloc, text in sorted(robots_docs.items()):
+        d = parse_crawl_delay(text)
+        if d is not None and d > 0:
+            rows.append((netloc.lower(), max(1, int(round_seconds // d))))
+    if not rows:
+        return spark.createDataFrame([], BUDGETS_SCHEMA)
+    return spark.createDataFrame(rows, BUDGETS_SCHEMA)

@@ -66,3 +66,77 @@ def test_engine_with_robots_prunes_frontier(spark):
     # unblocked pages crawl in the reference order filtered of the blocked url
     ref_order, _, _ = crawl_model(site, start)
     assert order == [u for u in ref_order if "index_2" not in u]
+
+
+def test_parse_crawl_delay_and_budgets(spark):
+    from icrawler_spark.crawl.robots import parse_crawl_delay, robots_budgets_df
+
+    txt = "User-agent: bot\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 30\n"
+    assert parse_crawl_delay(txt) == 30.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x") is None
+
+    budgets = robots_budgets_df(
+        spark,
+        {"slow.test": txt, "fast.test": "User-agent: *\nDisallow: /private"},
+        round_seconds=60.0,
+    )
+    rows = {r.netloc: r.host_budget for r in budgets.collect()}
+    assert rows == {"slow.test": 2}  # 60 // 30; no row for delay-less host
+    # delay longer than the round floors at 1 fetch/round
+    b2 = robots_budgets_df(spark, {"s.test": "User-agent: *\nCrawl-delay: 999"}, 60.0)
+    assert {(r.netloc, r.host_budget) for r in b2.collect()} == {("s.test", 1)}
+
+
+def test_engine_crawl_delay_budget_spreads_rounds(spark):
+    """Per-host Crawl-delay caps override the (absent) global budget: the
+    slow host fetches ≤2 pages/round while the fast host drains in one."""
+    import datetime as dt
+
+    from icrawler_spark.crawl.robots import robots_budgets_df
+
+    def row(host, path, links=()):
+        a = "".join(f'<a href="https://{h}/{p}">下一页</a>' for h, p in links)
+        return (
+            f"https://{host}/{path}",
+            dt.datetime(2024, 1, 1),
+            f"<html><body>{a}</body></html>".encode(),
+            "",
+            "en",
+        )
+
+    slow = [("slow.test", f"s{i}.html") for i in range(4)]
+    fast = [("fast.test", f"f{i}.html") for i in range(4)]
+    pages = spark.createDataFrame(
+        [row("seed.test", "index.html", links=slow + fast)]
+        + [row(h, p) for h, p in slow + fast],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    budgets = robots_budgets_df(
+        spark, {"slow.test": "User-agent: *\nCrawl-delay: 30"}, round_seconds=60.0
+    )
+    eng = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            start_url="https://seed.test/index.html",
+            max_rounds=10,
+            use_bloom=False,
+            parse_entries=False,
+        ),
+        host_budgets_df=budgets,
+    )
+    eng.run()
+    per = {
+        (r.netloc, r.round): r.n
+        for r in eng.visited.selectExpr(
+            "parse_url(url, 'HOST') AS netloc", "round"
+        )
+        .groupBy("netloc", "round")
+        .agg({"*": "count"})
+        .withColumnRenamed("count(1)", "n")
+        .collect()
+    }
+    # fast host: all 4 in round 1 (unlimited); slow host: 2+2 over rounds 1-2
+    assert per[("fast.test", 1)] == 4
+    assert per[("slow.test", 1)] == 2 and per[("slow.test", 2)] == 2
+    assert len({r.url for r in eng.visited.collect()}) == 9  # nothing dropped

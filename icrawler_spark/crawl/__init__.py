@@ -9,6 +9,7 @@ every round so a killed job resumes deterministically.
 """
 
 from .frontier import CrawlEngine, CrawlConfig
+from .robots import robots_budgets_df, robots_rules_df
 from .sources import latest_snapshot_view
 from .synthetic import build_site, site_pages_df, synthetic_pages_df, synthetic_seed_df
 
@@ -17,6 +18,8 @@ __all__ = [
     "CrawlConfig",
     "build_site",
     "latest_snapshot_view",
+    "robots_budgets_df",
+    "robots_rules_df",
     "site_pages_df",
     "synthetic_pages_df",
     "synthetic_seed_df",

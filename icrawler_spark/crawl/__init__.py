@@ -10,6 +10,7 @@ every round so a killed job resumes deterministically.
 
 from .frontier import CrawlEngine, CrawlConfig
 from .robots import robots_budgets_df, robots_rules_df
+from .sitemap import sitemap_seeds_df, sitemap_urls_from_robots
 from .sources import latest_snapshot_view
 from .synthetic import build_site, site_pages_df, synthetic_pages_df, synthetic_seed_df
 
@@ -20,6 +21,8 @@ __all__ = [
     "latest_snapshot_view",
     "robots_budgets_df",
     "robots_rules_df",
+    "sitemap_seeds_df",
+    "sitemap_urls_from_robots",
     "site_pages_df",
     "synthetic_pages_df",
     "synthetic_seed_df",

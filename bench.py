@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ivf_kmeans_topk",          # learned-centroid IVF ANN, label-free (r4)
     "incremental_simhash_dedup",# batch-vs-index dedup-before-store (r4)
     "domain_stats",             # per-domain curation rollup (r4)
+    "link_extraction",          # columnar href+img-src extraction (r4)
     # recrawl_round is oracle-gated but NOT benched here: it is a full
     # multi-round engine demo (≈100 politeness-bounded rounds at sf0.1),
     # a schedule-correctness statement rather than operator throughput

@@ -679,3 +679,111 @@ GROUP BY d.lang, d.source
 """
 
 QUERIES["curation_pipeline"] = (curation_pipeline, CURATION_PIPELINE_SQL)
+
+
+def link_extraction(spark, sf_dir):
+    """The generic columnar link extractor (parsers/links.py — north_star
+    "lxml-style href + img-src parsing re-expressed columnar") as an
+    oracle-checked query: deterministic HTML synthesized per document row
+    exercises every resolution branch (relative, root-relative,
+    protocol-relative, absolute, ../ collapse, dropped fragment/javascript,
+    single- and double-quoted attributes, mixed case), then extraction +
+    resolution run entirely JVM-side. Output: (doc_id, link_pos, kind, url).
+    100 TB shape: a scan-local map + generate stage — zero Python, zero
+    shuffle; the oracle re-implements the identical regex chain in DuckDB
+    (both engines run byte-equal lookaround-free patterns)."""
+    from ..parsers.links import extract_links
+    from .common import load
+
+    d = load(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://host-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/dir/sub/page"), F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    variant = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit('<a href="../up/x.html">u</a>'))
+        .when(F.col("doc_id") % 4 == 1, F.lit('<a href="//cdn.test/lib.js">c</a>'))
+        .when(F.col("doc_id") % 4 == 2, F.lit('<a href="#frag">f</a><a href="javascript:void(0)">j</a>'))
+        .otherwise(F.lit("<A HREF='https://abs.test/p.html'>a</A>"))
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="next'), (F.col("doc_id") % 10).cast("string"),
+        F.lit('.html">n</a><img src="/img/i'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.png">'), variant,
+        F.when(F.col("doc_id") % 6 == 0, F.lit("<img src='rel/thumb.jpg'>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(F.col("doc_id"), base.alias("url"), html.alias("html"))
+    return extract_links(pages, carry=("doc_id",)).select(
+        "doc_id", "link_pos", "kind", "url"
+    )
+
+
+# the oracle mirrors the extractor regex-for-regex; 'g' flags make DuckDB's
+# regexp_replace match Spark's replace-all semantics.
+LINK_EXTRACTION_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.test/dir/sub/page'
+           || CAST(doc_id AS VARCHAR) || '.html' AS base,
+         '<html><body><a href="next' || CAST(doc_id % 10 AS VARCHAR)
+           || '.html">n</a><img src="/img/i' || CAST(doc_id % 5 AS VARCHAR) || '.png">'
+           || CASE
+                WHEN doc_id % 4 = 0 THEN '<a href="../up/x.html">u</a>'
+                WHEN doc_id % 4 = 1 THEN '<a href="//cdn.test/lib.js">c</a>'
+                WHEN doc_id % 4 = 2 THEN '<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+                ELSE '<A HREF=''https://abs.test/p.html''>a</A>'
+              END
+           || CASE WHEN doc_id % 6 = 0 THEN '<img src=''rel/thumb.jpg''>' ELSE '' END
+           || '</body></html>' AS html
+  FROM documents
+),
+tags AS (
+  SELECT doc_id, base, p - 1 AS link_pos, tags_arr[p] AS tag
+  FROM (SELECT doc_id, base,
+               regexp_extract_all(html, '(?i)<(?:a|img)\b[^>]*>', 0) AS tags_arr
+        FROM docs),
+       unnest(range(1, len(tags_arr) + 1)) AS t(p)
+),
+attrs AS (
+  SELECT doc_id, base, link_pos,
+         CASE WHEN regexp_matches(tag, '(?i)^<a\b') THEN 'href' ELSE 'img' END AS kind,
+         CASE WHEN regexp_matches(tag, '(?i)^<a\b') THEN
+           COALESCE(NULLIF(regexp_extract(tag, '(?i)\bhref\s*=\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(tag, '(?i)\bhref\s*=\s*''([^'']*)''', 1), ''))
+         ELSE
+           COALESCE(NULLIF(regexp_extract(tag, '(?i)\bsrc\s*=\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(tag, '(?i)\bsrc\s*=\s*''([^'']*)''', 1), ''))
+         END AS raw
+  FROM tags
+),
+parts AS (
+  SELECT *, regexp_extract(base, '^([^:/?#]+)://', 1) AS scheme,
+         regexp_extract(base, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+         CASE WHEN regexp_extract(base, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+              ELSE regexp_replace(regexp_extract(base, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                                  '[^/]*$', '') END AS basedir
+  FROM attrs
+),
+joined AS (
+  SELECT doc_id, link_pos, kind,
+         CASE
+           WHEN raw IS NULL OR raw = '' OR raw LIKE '#%' THEN NULL
+           WHEN lower(raw) LIKE 'javascript:%' OR lower(raw) LIKE 'mailto:%'
+                OR lower(raw) LIKE 'data:%' THEN NULL
+           WHEN position('://' IN raw) > 0 THEN raw
+           WHEN raw LIKE '//%' THEN scheme || ':' || raw
+           WHEN raw LIKE '/%' THEN scheme || '://' || host || raw
+           ELSE scheme || '://' || host || basedir || raw
+         END AS u
+  FROM parts
+)
+SELECT doc_id, link_pos, kind,
+       regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(u, '/\./', '/', 'g'), '/\./', '/', 'g'),
+         '/[^/.][^/]*/\.\./', '/', 'g'), '/[^/.][^/]*/\.\./', '/', 'g'),
+         '/[^/.][^/]*/\.\./', '/', 'g') AS url
+FROM joined WHERE u IS NOT NULL
+"""
+
+QUERIES["link_extraction"] = (link_extraction, LINK_EXTRACTION_SQL)

@@ -68,6 +68,10 @@ class CrawlConfig:
                                        # recrawl invalidation — cuckoo.py)
     parse_entries: bool = True         # off for pure-frontier benchmarks
     download_docs: bool = False        # run the document download stage per round
+    collect_images: bool = False       # GreedyImageCrawler mode: harvest
+                                       # img-src/image-href targets per round
+                                       # (parsers/links.image_links) into the
+                                       # engine's `images` table
     allowed_types: list[str] | None = None  # download-type filter (ref 588-590)
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
     big_round_threshold: int = 50_000  # switch to distributed position assign
@@ -231,6 +235,7 @@ class CrawlEngine:
         self.seen: DataFrame | None = None
         self.entries: DataFrame | None = None
         self.documents: DataFrame | None = None
+        self.images: DataFrame | None = None  # collect_images accumulator
         self._next_pos = 1
         self._round = 0
         self._n_pending = 0
@@ -364,6 +369,9 @@ class CrawlEngine:
                 self.entries = self.store.read(last, "entries") if self.store.has_table(last, "entries") else None
                 self.documents = (
                     self.store.read(last, "documents") if self.store.has_table(last, "documents") else None
+                )
+                self.images = (
+                    self.store.read(last, "images") if self.store.has_table(last, "images") else None
                 )
                 self._simhash_index = (
                     self.store.read(last, "simhash_index")
@@ -593,7 +601,7 @@ class CrawlEngine:
         # r4_ab_bisect.jsonl; the 537 reproduced to 0.1% across two runs) —
         # the persist writes ~20 GB through the block manager and evicts
         # the corpus cache for a payload that is consumed once.
-        reuse_html = cfg.parse_entries or cfg.dedup_near_dups
+        reuse_html = cfg.parse_entries or cfg.dedup_near_dups or cfg.collect_images
         if reuse_html:
             fetched = fetched.persist()
             fetched_keys = fetched.select("url", "depth", "discovery_pos")
@@ -634,6 +642,38 @@ class CrawlEngine:
         n_missing = n_batch - n_fetched
         n_deferred = n_pending_before - n_batch
         _mark("fetch+pin_visited")
+
+        # GreedyImageCrawler mode: harvest this round's image targets from
+        # the fetched html (columnar extractor — zero Python), first-wins per
+        # image url within the round, deduped against the crawl-lifetime
+        # images table, "downloaded" = binary present in the corpus (the
+        # pages table doubles as the network, same as the fetch join). The
+        # availability join moves url strings only, never payloads.
+        if cfg.collect_images:
+            from ..parsers.links import image_links as _image_links
+
+            cand = _image_links(fetched.select("url", "html"))
+            wimg = Window.partitionBy("url").orderBy(F.asc("page_url"), F.asc("link_pos"))
+            cand = (
+                cand.withColumn("_rn", F.row_number().over(wimg))
+                .where(F.col("_rn") == 1)
+                .select("url", "page_url", "kind")
+            )
+            if self.images is not None:
+                cand = cand.join(self.images.select("url"), "url", "left_anti")
+            avail = self.pages.select("url").distinct().withColumn("_ok", F.lit(True))
+            delta = cand.join(avail, "url", "left").select(
+                "url",
+                "page_url",
+                "kind",
+                F.lit(rnd).alias("round"),
+                F.when(F.col("_ok"), F.lit("downloaded"))
+                .otherwise(F.lit("missing"))
+                .alias("status"),
+            )
+            merged = delta if self.images is None else self.images.unionByName(delta)
+            self.images = self._pin(merged, rnd, "images")
+            _mark("images")
 
         # dedup-before-store (north-star incremental-crawl step): this
         # round's fetched pages probe the crawl-lifetime SimHash index; a

@@ -73,3 +73,48 @@ def test_extract_links_garbage(spark):
     # bounded collapse: 3 passes resolve 3 levels; the residue stays literal
     assert got["https://g.test/q/w/e/r/d.html"].endswith("up.html")
     assert "https://g.test/b.html" not in got and "https://g.test/c.html" not in got
+
+
+def test_engine_collect_images_end_to_end(spark, tmp_path):
+    """GreedyImageCrawler mode: the engine harvests image targets per round,
+    dedupes across pages and rounds, marks corpus-missing images, and the
+    images table survives checkpoint resume."""
+    import datetime as dt
+    import shutil
+
+    from icrawler_spark.crawl import CrawlConfig, CrawlEngine
+
+    host = "https://img.example.test"
+
+    def page(path, html):
+        return (f"{host}/{path}", dt.datetime(2024, 1, 1), html.encode(), "", "en")
+
+    rows = [
+        page("p0.html", f'<img src="/shared.png"><a href="{host}/p1.html">下一页</a>'),
+        page("p1.html", '<img src="/shared.png"><img src="b.gif">'
+                        '<a href="/gone.jpg">dead</a>'),
+        page("shared.png", "binary-ish"),
+        page("b.gif", "binary-ish"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    )
+    ckpt = str(tmp_path / "ckpt_img")
+    cfg = CrawlConfig(
+        start_url=f"{host}/p0.html", max_rounds=10, use_bloom=False,
+        parse_entries=False, host_budget=1, collect_images=True,
+        checkpoint_dir=ckpt,
+    )
+    eng = CrawlEngine(spark, pages, cfg)
+    eng.run()
+    imgs = {(r.url, r.status, r.round) for r in eng.images.collect()}
+    # shared.png collected once (round 0, from p0 — first-wins), never re-added
+    assert (f"{host}/shared.png", "downloaded", 0) in imgs
+    assert (f"{host}/b.gif", "downloaded", 1) in imgs
+    assert (f"{host}/gone.jpg", "missing", 1) in imgs
+    assert len(imgs) == 3
+
+    resumed = CrawlEngine(spark, pages, cfg)
+    resumed.resume_or_init()
+    assert {(r.url, r.status, r.round) for r in resumed.images.collect()} == imgs
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -787,3 +787,48 @@ FROM joined WHERE u IS NOT NULL
 """
 
 QUERIES["link_extraction"] = (link_extraction, LINK_EXTRACTION_SQL)
+
+
+def sitemap_seeds(spark, sf_dir):
+    """Sitemap ingestion (crawl/sitemap.py) as an oracle-checked query: the
+    documents table is packed into 7 ``<urlset>`` shards (shard = doc_id %%
+    7, ascending doc_id within each) behind one ``<sitemapindex>`` listing
+    the shards in REVERSE order, and ``sitemap_seeds_df`` must recover the
+    exact global seed order — index order outer, document order inner. The
+    oracle states the expected outcome relationally (no regex), so the whole
+    construct→regex-extract→explode→rank pipeline is what's under test.
+    100 TB shape: the XML build is a grouped agg; extraction is the same
+    scan-local columnar pipeline as ``link_extraction``."""
+    from ..crawl.sitemap import sitemap_seeds_df
+    from .common import load
+
+    d = load(spark, sf_dir, "documents")
+    host = "https://sm.seeds.test"
+    entry = F.concat(
+        F.lit("<url><loc>"), F.lit(host), F.lit("/p"),
+        F.col("doc_id").cast("string"), F.lit(".html</loc></url>"),
+    )
+    shards = (
+        d.select((F.col("doc_id") % 7).alias("shard"), F.struct("doc_id", entry.alias("x")).alias("s"))
+        .groupBy("shard")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda e: e["x"]), "").alias("body"))
+        .select(
+            F.concat(F.lit(host), F.lit("/shard"), F.col("shard").cast("string"), F.lit(".xml")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("body"), F.lit("</urlset>")).cast("binary").alias("html"),
+        )
+    )
+    index_html = "<sitemapindex>" + "".join(
+        f"<sitemap><loc>{host}/shard{s}.xml</loc></sitemap>" for s in reversed(range(7))
+    ) + "</sitemapindex>"
+    index = spark.createDataFrame([(f"{host}/sitemap.xml", index_html.encode())], "url string, html binary")
+    pages = shards.unionByName(index)
+    return sitemap_seeds_df(spark, pages, [f"{host}/sitemap.xml"])
+
+
+SITEMAP_SEEDS_SQL = """
+SELECT 'https://sm.seeds.test/p' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       ROW_NUMBER() OVER (ORDER BY 6 - (doc_id % 7), doc_id) - 1 AS pos
+FROM documents
+"""
+
+QUERIES["sitemap_seeds"] = (sitemap_seeds, SITEMAP_SEEDS_SQL)

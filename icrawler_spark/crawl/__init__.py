@@ -12,6 +12,7 @@ from .frontier import CrawlEngine, CrawlConfig
 from .robots import robots_budgets_df, robots_rules_df
 from .sitemap import sitemap_seeds_df, sitemap_urls_from_robots
 from .sources import latest_snapshot_view
+from .warc import read_warc
 from .synthetic import build_site, site_pages_df, synthetic_pages_df, synthetic_seed_df
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "CrawlConfig",
     "build_site",
     "latest_snapshot_view",
+    "read_warc",
     "robots_budgets_df",
     "robots_rules_df",
     "sitemap_seeds_df",

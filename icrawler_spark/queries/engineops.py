@@ -832,3 +832,74 @@ FROM documents
 """
 
 QUERIES["sitemap_seeds"] = (sitemap_seeds, SITEMAP_SEEDS_SQL)
+
+
+def image_harvest(spark, sf_dir):
+    """GreedyImageCrawler mode through the REAL engine as an oracle-checked
+    query: one page per documents row (all seeded, one round) carrying an
+    ``<img>`` whose target is shared across doc_id mod 13 classes plus, for
+    every third doc, an image-suffixed ``<a href>``; image binaries exist in
+    the corpus only for classes not divisible by 5 (the missing-status path).
+    Output is the engine's images table. The oracle recomputes the expected
+    harvest relationally: first-wins page attribution = MIN(page url string)
+    per shared image (the engine's (page_url, link_pos) window), downloaded
+    = corpus membership. Construct→crawl→extract→dedup must round-trip."""
+    from ..crawl import CrawlConfig, CrawlEngine
+    from .common import load
+
+    d = load(spark, sf_dir, "documents")
+    host = "https://imgq.test"
+    page_url = F.concat(F.lit(host + "/p"), F.col("doc_id").cast("string"), F.lit(".html"))
+    img_src = F.concat(F.lit("/img/i"), (F.col("doc_id") % 13).cast("string"), F.lit(".png"))
+    href = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<a href="/full/'), F.col("doc_id").cast("string"), F.lit('.jpg">f</a>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><img src="'), img_src, F.lit('">'), href, F.lit("</body></html>")
+    )
+    page_rows = d.select(page_url.alias("url"), html.cast("binary").alias("html"),
+                         F.col("doc_id").alias("pos"))
+    img_rows = (
+        d.select((F.col("doc_id") % 13).alias("k")).distinct()
+        .where(F.col("k") % 5 != 0)
+        .select(
+            F.concat(F.lit(host + "/img/i"), F.col("k").cast("string"), F.lit(".png")).alias("url"),
+            F.lit(b"png-bytes").alias("html"),
+            F.lit(None).cast("long").alias("pos"),
+        )
+    )
+    pages = page_rows.unionByName(img_rows)
+    eng = CrawlEngine(
+        spark,
+        pages.select("url", "html"),
+        CrawlConfig(
+            start_url=host + "/p0.html", max_rounds=1, use_bloom=False,
+            parse_entries=False, collect_images=True,
+        ),
+        seeds_df=page_rows.where(F.col("pos").isNotNull()).select("url", "pos"),
+    )
+    eng.run()
+    return eng.images.select("url", "page_url", "kind", "round", "status")
+
+
+IMAGE_HARVEST_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://imgq.test/p' || CAST(doc_id AS VARCHAR) || '.html' AS page_url,
+         doc_id % 13 AS k
+  FROM documents
+)
+SELECT 'https://imgq.test/img/i' || CAST(k AS VARCHAR) || '.png' AS url,
+       MIN(page_url) AS page_url,
+       'img' AS kind,
+       0 AS round,
+       CASE WHEN k % 5 <> 0 THEN 'downloaded' ELSE 'missing' END AS status
+FROM pages GROUP BY k
+UNION ALL
+SELECT 'https://imgq.test/full/' || CAST(doc_id AS VARCHAR) || '.jpg' AS url,
+       page_url, 'href' AS kind, 0 AS round, 'missing' AS status
+FROM pages WHERE doc_id % 3 = 0
+"""
+
+QUERIES["image_harvest"] = (image_harvest, IMAGE_HARVEST_SQL)

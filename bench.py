@@ -55,9 +55,10 @@ BENCH_QUERIES = [
     "incremental_simhash_dedup",# batch-vs-index dedup-before-store (r4)
     "domain_stats",             # per-domain curation rollup (r4)
     "link_extraction",          # columnar href+img-src extraction (r4)
-    # recrawl_round is oracle-gated but NOT benched here: it is a full
-    # multi-round engine demo (≈100 politeness-bounded rounds at sf0.1),
-    # a schedule-correctness statement rather than operator throughput
+    # recrawl_round / image_harvest / sitemap_seeds are oracle-gated but NOT
+    # benched here: they are full engine-in-query demos (multi-round
+    # politeness-bounded crawls, construct→crawl→extract round-trips) —
+    # correctness statements rather than operator throughput
 ]
 
 

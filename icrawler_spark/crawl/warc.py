@@ -177,3 +177,45 @@ def build_warc_bytes(records: list[tuple[str, str, bytes]], gzip_members: bool =
         )
         out.append(_gzip.compress(rec) if gzip_members else rec)
     return b"".join(out)
+
+
+def write_warc(pages: DataFrame, out_dir: str, gzip_members: bool = True) -> DataFrame:
+    """pages table → WARC segment files, one per partition (the inverse of
+    ``read_warc``): each executor partition writes ``seg-<part>-<uuid>.warc.gz``
+    with one gzip member per record, Common-Crawl style. Returns a DataFrame
+    (path, n_records) of the written segments — an action the caller fires.
+
+    Scale shape: writing happens entirely executor-side (no driver collect);
+    segment count = partition count, so ``pages.repartition(n)`` before the
+    call sizes the segments. Pages with NULL html are skipped (nothing to
+    archive). ``warc_ts`` is emitted as ISO-8601 Z; absent → epoch."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [c for c in ("url", "warc_ts", "html") if c in pages.columns]
+
+    def write_part(batches):
+        recs = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                ts = getattr(row, "warc_ts", None)
+                iso = (
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None and not pd.isna(ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+                recs.append((row.url, iso, bytes(row.html)))
+        if not recs:
+            yield pd.DataFrame({"path": [], "n_records": []})
+            return
+        path = os.path.join(out_dir, f"seg-{uuid.uuid4().hex}.warc" + (".gz" if gzip_members else ""))
+        with open(path, "wb") as fh:
+            fh.write(build_warc_bytes(recs, gzip_members=gzip_members))
+        yield pd.DataFrame({"path": [path], "n_records": [len(recs)]})
+
+    return pages.select(*cols).mapInPandas(write_part, "path string, n_records long")

@@ -73,3 +73,32 @@ def test_read_warc_dataframe_and_crawl(spark, tmp_path):
     )
     eng.run()
     assert eng.crawl_order() == [f"{host}/p0.html", f"{host}/p1.html"]
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """pages → WARC segments → pages: urls, timestamps, and payload bytes
+    survive byte-exact; segment count = partition count."""
+    import datetime as dt
+
+    from icrawler_spark.crawl.warc import read_warc, write_warc
+
+    rows = [
+        (f"https://rt.test/p{i}.html", dt.datetime(2024, 2, 1, 0, 0, i),
+         f"<html><body>page {i} 中文</body></html>".encode(), None, None)
+        for i in range(23)
+    ] + [("https://rt.test/null.html", dt.datetime(2024, 2, 2), None, None, None)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    ).repartition(3)
+    out = str(tmp_path / "segs")
+    written = write_warc(pages, out).collect()
+    assert sum(r.n_records for r in written) == 23  # NULL html skipped
+    assert 1 <= len([r for r in written if r.path]) <= 3
+
+    back = read_warc(spark, out + "/*.warc.gz")
+    got = {r.url: (r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert len(got) == 23
+    for i in range(23):
+        ts, html = got[f"https://rt.test/p{i}.html"]
+        assert ts == dt.datetime(2024, 2, 1, 0, 0, i)
+        assert html == f"<html><body>page {i} 中文</body></html>".encode()

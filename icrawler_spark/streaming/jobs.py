@@ -72,3 +72,33 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(120)
+
+
+def streaming_page_ingest(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming page ingest — the crawl engine's dedup-before-store stage as
+    a Structured Streaming job: new page snapshots (url, warc_ts, html[, text])
+    arrive as file drops; each gets its content identity (md5) and its 48-bit
+    SimHash (the same codegen expression the batch engine uses, so batch and
+    stream agree bit-for-bit), then exact duplicates within the watermark
+    horizon are dropped on the content hash — ONE representative per
+    distinct content survives (which url wins is arrival-order within the
+    micro-batch, the standard streaming dropDuplicates contract; a crawl
+    store keyed by content hash doesn't care). Output is the store-ready
+    stream: one row per distinct content, simhash attached for
+    the downstream near-dup index merge. All expressions are stateless
+    codegen except the dropDuplicates state, which the watermark bounds —
+    at 10^10 pages/day state holds one (hash → seen) entry per distinct
+    page in the horizon, sharded by the hash across executors."""
+    from ..queries.textops import simhash_expr
+
+    body = F.coalesce(F.col("text"), F.col("html").cast("string")) if "text" in pages.columns else F.col("html").cast("string")
+    enriched = (
+        pages.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .withColumn("content_hash", F.md5(F.col("html").cast("string")))
+        .withColumn("simhash", simhash_expr(body))
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .dropDuplicates(["content_hash"])
+        .select("url", "ts", "content_hash", "simhash", "html")
+    )

@@ -156,3 +156,93 @@ def test_stateful_user_activity_tracker(spark, tmp_path):
         assert got[uid].n_events == b.n
         assert got[uid].total_cents == b.cents
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_page_ingest_dedup_and_simhash_parity(spark, tmp_path):
+    """Pages stream through ingest: exact dups dropped first-wins across file
+    drops; the in-stream simhash equals the batch simhash_expr bit-for-bit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.queries.textops import simhash_expr
+    from icrawler_spark.streaming.jobs import run_available_now, streaming_page_ingest
+
+    src = str(tmp_path / "pages_src")
+    ckpt = str(tmp_path / "pages_ckpt")
+    schema = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+
+    def row(u, sec, body):
+        return (u, dt.datetime(2024, 3, 1, 0, 0, sec), body.encode(), None, None)
+
+    drop1 = spark.createDataFrame(
+        [row("https://s.test/a", 0, "<html>alpha beta gamma</html>"),
+         row("https://s.test/b", 1, "<html>delta epsilon zeta</html>")], schema)
+    drop2 = spark.createDataFrame(
+        [row("https://s.test/a2", 2, "<html>alpha beta gamma</html>"),  # exact dup of a
+         row("https://s.test/c", 3, "<html>eta theta iota</html>")], schema)
+    drop1.write.mode("append").parquet(src)
+    drop2.write.mode("append").parquet(src)
+
+    run_available_now(spark, src, schema, streaming_page_ingest, ckpt, "ingest_out")
+    out = spark.sql("SELECT * FROM ingest_out").collect()
+    urls = {r.url for r in out}
+    # exactly one representative of the duplicated content survives
+    assert len(out) == 3
+    assert len(urls & {"https://s.test/a", "https://s.test/a2"}) == 1
+    assert {"https://s.test/b", "https://s.test/c"} <= urls
+
+    batch = (
+        drop1.unionByName(drop2)
+        .select("url", simhash_expr(F.col("html").cast("string")).alias("sh"))
+        .collect()
+    )
+    want = {r.url: r.sh for r in batch}
+    for r in out:
+        assert r.simhash == want[r.url]  # stream == batch, bit-for-bit
+
+
+def test_streaming_page_ingest_resumes_dedup_state(spark, tmp_path):
+    """Kill-and-resume: after draining drop 1 with a file sink + checkpoint,
+    a fresh availableNow run over drop 2 suppresses content already seen in
+    drop 1 — the dedup state survives the restart (the streaming twin of the
+    engine's snapshot resume)."""
+    import datetime as dt
+    import shutil
+
+    from icrawler_spark.streaming.jobs import streaming_page_ingest
+
+    schema = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_page_ingest(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def row(u, sec, body):
+        return (u, dt.datetime(2024, 4, 1, 0, 0, sec), body.encode(), None, None)
+
+    spark.createDataFrame(
+        [row("https://r.test/a", 0, "<html>one</html>"),
+         row("https://r.test/b", 1, "<html>two</html>")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame(
+        [row("https://r.test/dup", 30, "<html>one</html>"),
+         row("https://r.test/new", 31, "<html>three</html>")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    final = {r.url for r in spark.read.parquet(out).collect()}
+    assert len(final) == 3 and "https://r.test/dup" not in final and "https://r.test/new" in final
+    shutil.rmtree(src, ignore_errors=True)

@@ -1,5 +1,15 @@
 """Structured Streaming twins of the incremental operators (SURVEY §2.11)."""
 
-from .jobs import streaming_dedup, streaming_hourly_rollup, run_available_now
+from .jobs import (
+    run_available_now,
+    streaming_dedup,
+    streaming_hourly_rollup,
+    streaming_page_ingest,
+)
 
-__all__ = ["streaming_hourly_rollup", "streaming_dedup", "run_available_now"]
+__all__ = [
+    "streaming_hourly_rollup",
+    "streaming_dedup",
+    "streaming_page_ingest",
+    "run_available_now",
+]

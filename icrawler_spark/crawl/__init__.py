@@ -9,7 +9,7 @@ every round so a killed job resumes deterministically.
 """
 
 from .frontier import CrawlEngine, CrawlConfig
-from .robots import robots_budgets_df, robots_rules_df
+from .robots import robots_budgets_df, robots_docs_from_pages, robots_rules_df
 from .sitemap import sitemap_seeds_df, sitemap_urls_from_robots
 from .sources import latest_snapshot_view
 from .warc import read_warc
@@ -22,6 +22,7 @@ __all__ = [
     "latest_snapshot_view",
     "read_warc",
     "robots_budgets_df",
+    "robots_docs_from_pages",
     "robots_rules_df",
     "sitemap_seeds_df",
     "sitemap_urls_from_robots",

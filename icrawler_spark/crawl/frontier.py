@@ -75,6 +75,10 @@ class CrawlConfig:
     allowed_types: list[str] | None = None  # download-type filter (ref 588-590)
     checkpoint_dir: str | None = None  # None → in-memory (localCheckpoint)
     big_round_threshold: int = 50_000  # switch to distributed position assign
+    max_depth: int | None = None       # drop links deeper than this many hops
+                                       # from a seed (seeds are depth 0);
+                                       # pruned BEFORE the link pin so
+                                       # out-of-scope links never shuffle
     fast_metrics: bool = False         # kept for compat; counts now ride as
                                        # observe() metrics on the pin actions
     broadcast_batch_threshold: int = 1_000_000  # URLs; above → shuffle join
@@ -750,7 +754,13 @@ class CrawlEngine:
             F.lit(rnd + 1).alias("discovered_round"),
             F.col("discovery_pos").alias("parent_pos"),
             "link_pos",
-        ).observe(obs_links, F.count(F.lit(1)).alias("n_links"))
+        )
+        if cfg.max_depth is not None:
+            # scope cut at the source: links beyond the depth budget never
+            # reach the pin/dedup/anti-join pipeline, and n_links (the
+            # big-round routing input) counts only frontier-eligible links
+            links = links.where(F.col("depth") <= cfg.max_depth)
+        links = links.observe(obs_links, F.count(F.lit(1)).alias("n_links"))
         # eager pin: the bloom split + dedup branch the plan, so the parse
         # output must be cached either way — checkpointing it NOW also fires
         # obs_links, making the big-round routing decision exact (the r2

@@ -146,3 +146,35 @@ def robots_budgets_df(spark, robots_docs: dict[str, str], round_seconds: float =
     if not rows:
         return spark.createDataFrame([], BUDGETS_SCHEMA)
     return spark.createDataFrame(rows, BUDGETS_SCHEMA)
+
+
+def robots_docs_from_pages(pages: DataFrame) -> dict[str, str]:
+    """Derive the robots corpus from the pages table itself: rows whose url
+    is exactly ``scheme://host/robots.txt`` become {netloc: text}. Closes
+    the everything-from-the-corpus loop (a Common-Crawl dump archives
+    robots.txt responses like any other fetch), so
+    ``robots_rules_df(spark, robots_docs_from_pages(pages))`` and
+    ``robots_budgets_df(...)`` need no side-channel input.
+
+    Driver-side collect is host-count-sized by construction (one row per
+    host), the same boundary the rules/budgets tables already accept.
+    Multi-snapshot corpora: the newest ``warc_ts`` row per host wins."""
+    from pyspark.sql import functions as F
+
+    cand = pages.where(
+        F.col("url").rlike(r"^[^:/?#]+://[^/?#]+/robots\.txt$")
+    ).select(
+        F.lower(F.coalesce(F.try_parse_url(F.col("url"), F.lit("HOST")), F.lit(""))).alias(
+            "netloc"
+        ),
+        F.col("html").cast("string").alias("text"),
+        *([F.col("warc_ts")] if "warc_ts" in pages.columns else [F.lit(None).alias("warc_ts")]),
+    )
+    w = Window.partitionBy("netloc").orderBy(F.desc_nulls_last("warc_ts"), F.desc("text"))
+    rows = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("netloc") != ""))
+        .select("netloc", "text")
+        .collect()
+    )
+    return {r.netloc: r.text or "" for r in rows}

@@ -140,3 +140,45 @@ def test_engine_crawl_delay_budget_spreads_rounds(spark):
     assert per[("fast.test", 1)] == 4
     assert per[("slow.test", 1)] == 2 and per[("slow.test", 2)] == 2
     assert len({r.url for r in eng.visited.collect()}) == 9  # nothing dropped
+
+
+def test_robots_docs_from_pages_and_max_depth(spark):
+    """Robots corpus derived from the pages table drives rules + budgets;
+    max_depth prunes the frontier at the link source."""
+    import datetime as dt
+
+    from icrawler_spark.crawl.robots import robots_docs_from_pages
+
+    host = "https://depth.test"
+
+    def page(path, link=None, ts=0):
+        a = f'<a href="{host}/{link}">下一页</a>' if link else ""
+        return (f"{host}/{path}", dt.datetime(2024, 1, 1, 0, 0, ts),
+                f"<html><body>{a}</body></html>".encode(), "", "en")
+
+    rows = [page(f"d{i}.html", link=f"d{i+1}.html" if i < 5 else None) for i in range(6)]
+    # robots.txt as a corpus row (newest snapshot wins)
+    rows.append((f"{host}/robots.txt", dt.datetime(2024, 1, 1),
+                 b"User-agent: *\nDisallow: /old", "", "en"))
+    rows.append((f"{host}/robots.txt", dt.datetime(2024, 2, 1),
+                 b"User-agent: *\nCrawl-delay: 30\nDisallow: /private", "", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    )
+
+    docs = robots_docs_from_pages(pages)
+    assert set(docs) == {"depth.test"}
+    assert "Crawl-delay: 30" in docs["depth.test"]  # newest snapshot won
+
+    from icrawler_spark.crawl.robots import parse_crawl_delay
+
+    assert parse_crawl_delay(docs["depth.test"]) == 30.0
+
+    eng = CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=f"{host}/d0.html", max_rounds=10, use_bloom=False,
+                    parse_entries=False, max_depth=2),
+    )
+    eng.run()
+    # depth 0,1,2 fetched; d3+ never enqueued
+    assert eng.crawl_order() == [f"{host}/d{i}.html" for i in range(3)]

@@ -79,6 +79,12 @@ class CrawlConfig:
                                        # from a seed (seeds are depth 0);
                                        # pruned BEFORE the link pin so
                                        # out-of-scope links never shuffle
+    follow_redirects: bool = True      # when the pages table carries a
+                                       # `redirect_to` column (3xx Location),
+                                       # targets enter the link stream at
+                                       # link_pos −1 — ahead of the page's
+                                       # parsed links, since a redirect is
+                                       # known before any parsing
     fast_metrics: bool = False         # kept for compat; counts now ride as
                                        # observe() metrics on the pin actions
     broadcast_batch_threshold: int = 1_000_000  # URLs; above → shuffle join
@@ -573,6 +579,9 @@ class CrawlEngine:
         fetch_cols = ["task", "url", "html", "depth", "discovered_round", "discovery_pos"]
         if cfg.dedup_near_dups and "text" in self.pages.columns:
             fetch_cols.append("text")
+        follow_redirects = cfg.follow_redirects and "redirect_to" in self.pages.columns
+        if follow_redirects:
+            fetch_cols.append("redirect_to")
         fetched = self.pages.join(batch_side, "url", "inner").select(*fetch_cols)
         # What to cache from the fetch join is THE big-round scaling decision:
         # caching the html column writes the whole fetched payload (~30 KB/row
@@ -606,12 +615,17 @@ class CrawlEngine:
         # the persist writes ~20 GB through the block manager and evicts
         # the corpus cache for a payload that is consumed once.
         reuse_html = cfg.parse_entries or cfg.dedup_near_dups or cfg.collect_images
+        # redirect_to rides the KEYS cache (a short string per row) so the
+        # redirect-target stream below never re-derives the fetch join
+        key_cols = ["url", "depth", "discovery_pos"] + (
+            ["redirect_to"] if follow_redirects else []
+        )
         if reuse_html:
             fetched = fetched.persist()
-            fetched_keys = fetched.select("url", "depth", "discovery_pos")
+            fetched_keys = fetched.select(*key_cols)
             fetch_cache = fetched
         else:
-            fetched_keys = fetched.select("url", "depth", "discovery_pos").persist()
+            fetched_keys = fetched.select(*key_cols).persist()
             fetch_cache = fetched_keys
 
         obs_visited = Observation(f"visited_r{rnd}")
@@ -755,6 +769,25 @@ class CrawlEngine:
             F.col("discovery_pos").alias("parent_pos"),
             "link_pos",
         )
+        if follow_redirects:
+            # 3xx targets join the link stream at link_pos −1: a redirect is
+            # known before any parsing, so FIFO order puts the target ahead
+            # of the page's parsed links. Everything downstream (first-wins
+            # dedup, seen filtering, politeness, positions) applies to
+            # redirect targets exactly as to parsed links — no special path.
+            # empty-string Location values (malformed 3xx) are dropped like
+            # NULL — they would otherwise enqueue a bogus "" frontier row
+            rlinks = fetched_keys.where(
+                F.col("redirect_to").isNotNull() & (F.col("redirect_to") != "")
+            ).select(
+                F.lit(cfg.task).alias("task"),
+                F.col("redirect_to").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.lit(rnd + 1).alias("discovered_round"),
+                F.col("discovery_pos").alias("parent_pos"),
+                F.lit(-1).cast("long").alias("link_pos"),
+            )
+            links = links.unionByName(rlinks)
         if cfg.max_depth is not None:
             # scope cut at the source: links beyond the depth budget never
             # reach the pin/dedup/anti-join pipeline, and n_links (the

@@ -717,3 +717,47 @@ def test_invalidate_survives_checkpoint_resume(spark, site, pages, tmp_path):
     resumed.resume_or_init()
     assert resumed.crawl_order() == final
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_follow_redirects_chain_order_and_dedup(spark):
+    """3xx semantics: redirect targets enter the frontier ahead of parsed
+    links, chains resolve hop by hop, and targets already seen are deduped."""
+    import datetime as dt
+
+    base = "https://rdr.test"
+
+    def row(path, html=b"", redirect=None, link=None):
+        if link:
+            html = f'<html><body><a href="{base}/{link}">下一页</a></body></html>'.encode()
+        return (f"{base}/{path}", dt.datetime(2024, 1, 1), html, "", "en",
+                f"{base}/{redirect}" if redirect else None)
+
+    pages = spark.createDataFrame(
+        [
+            # seed redirects AND carries a parsed link: target must come first
+            row("seed.html", redirect="r1.html", link="parsed.html"),
+            row("r1.html", redirect="r2.html"),            # chain hop 1 (stub body)
+            row("r2.html", link="seed.html"),              # chain end; link back = dedup
+            row("parsed.html"),
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string, redirect_to string",
+    )
+    cfg = CrawlConfig(start_url=f"{base}/seed.html", max_rounds=10,
+                      use_bloom=False, parse_entries=False, host_budget=1)
+    eng = CrawlEngine(spark, pages, cfg)
+    eng.run()
+    assert eng.crawl_order() == [
+        f"{base}/seed.html",
+        f"{base}/r1.html",      # redirect target ahead of the SAME page's parsed link
+        f"{base}/parsed.html",  # BFS: discovered in round 0, before r2 (round 1)
+        f"{base}/r2.html",      # chain resolved one hop per round, FIFO-faithful
+    ]
+
+    # follow_redirects=False ignores the column entirely
+    off = CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=f"{base}/seed.html", max_rounds=10, use_bloom=False,
+                    parse_entries=False, host_budget=1, follow_redirects=False),
+    )
+    off.run()
+    assert off.crawl_order() == [f"{base}/seed.html", f"{base}/parsed.html"]

@@ -118,6 +118,19 @@ def _http_body(block: bytes) -> bytes:
     return block
 
 
+def _http_redirect(block: bytes) -> str | None:
+    """3xx response block → Location header value, else None."""
+    if block[:5] != b"HTTP/":
+        return None
+    sep = block.find(_CRLF2)
+    head = block[: sep if sep >= 0 else len(block)]
+    status_line = head.split(b"\n", 1)[0]
+    parts = status_line.split()
+    if len(parts) < 2 or not parts[1].isdigit() or parts[1][:1] != b"3":
+        return None
+    return _parse_headers(head).get("location") or None
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file(s) → input_hint pages DataFrame (url, warc_ts, html, text,
     lang). ``path`` accepts globs (``segments/*.warc.gz``). One task per
@@ -129,7 +142,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches):
         for pdf in batches:
-            rows = {"url": [], "warc_ts": [], "html": []}
+            rows = {"url": [], "warc_ts": [], "html": [], "redirect_to": []}
             for content in pdf["content"]:
                 for headers, block in parse_warc_records(bytes(content)):
                     if headers.get("warc-type") != "response":
@@ -140,15 +153,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     rows["url"].append(url)
                     rows["warc_ts"].append(headers.get("warc-date"))
                     rows["html"].append(_http_body(block))
+                    # 3xx Location → the engine's redirect_to column, so a
+                    # WARC corpus drives CrawlConfig.follow_redirects natively
+                    rows["redirect_to"].append(_http_redirect(block))
             yield pd.DataFrame(rows)
 
-    raw = files.mapInPandas(parse, "url string, warc_ts string, html binary")
+    raw = files.mapInPandas(
+        parse, "url string, warc_ts string, html binary, redirect_to string"
+    )
     return raw.select(
         "url",
         F.to_timestamp(F.col("warc_ts")).alias("warc_ts"),
         "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        "redirect_to",
     )
 
 
@@ -159,12 +178,22 @@ def build_warc_bytes(records: list[tuple[str, str, bytes]], gzip_members: bool =
     import gzip as _gzip
 
     out = []
-    for url, date, html in records:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            + f"Content-Length: {len(html)}\r\n\r\n".encode()
-            + html
-        )
+    for rec in records:
+        url, date, html = rec[0], rec[1], rec[2]
+        location = rec[3] if len(rec) > 3 else None
+        if location:
+            http = (
+                b"HTTP/1.1 301 Moved Permanently\r\n"
+                + f"Location: {location}\r\n".encode()
+                + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                + html
+            )
+        else:
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                + html
+            )
         rec = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
@@ -195,7 +224,7 @@ def write_warc(pages: DataFrame, out_dir: str, gzip_members: bool = True) -> Dat
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-    cols = [c for c in ("url", "warc_ts", "html") if c in pages.columns]
+    cols = [c for c in ("url", "warc_ts", "html", "redirect_to") if c in pages.columns]
 
     def write_part(batches):
         recs = []
@@ -209,7 +238,8 @@ def write_warc(pages: DataFrame, out_dir: str, gzip_members: bool = True) -> Dat
                     if ts is not None and not pd.isna(ts)
                     else "1970-01-01T00:00:00Z"
                 )
-                recs.append((row.url, iso, bytes(row.html)))
+                loc = getattr(row, "redirect_to", None)
+                recs.append((row.url, iso, bytes(row.html), loc or None))
         if not recs:
             yield pd.DataFrame({"path": [], "n_records": []})
             return

@@ -59,7 +59,9 @@ def test_read_warc_dataframe_and_crawl(spark, tmp_path):
     f.write_bytes(raw)
 
     pages = read_warc(spark, str(f))
-    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang", "redirect_to"
+    ]
     rows = {r.url: r for r in pages.collect()}
     assert set(rows) == {f"{host}/p0.html", f"{host}/p1.html"}
     assert rows[f"{host}/p0.html"].warc_ts == dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -102,3 +104,38 @@ def test_write_warc_roundtrip(spark, tmp_path):
         ts, html = got[f"https://rt.test/p{i}.html"]
         assert ts == dt.datetime(2024, 2, 1, 0, 0, i)
         assert html == f"<html><body>page {i} 中文</body></html>".encode()
+
+
+def test_warc_redirects_end_to_end(spark, tmp_path):
+    """A WARC archive containing a 301 drives the engine's redirect
+    following natively: Location is surfaced as redirect_to, the target is
+    crawled, and write_warc preserves the 301 through a roundtrip."""
+    from icrawler_spark.crawl import CrawlConfig, CrawlEngine
+    from icrawler_spark.crawl.warc import build_warc_bytes, read_warc, write_warc
+
+    host = "https://wr.test"
+    raw = build_warc_bytes(
+        [
+            (f"{host}/old.html", "2024-01-01T00:00:00Z", b"", f"{host}/new.html"),
+            (f"{host}/new.html", "2024-01-01T00:00:01Z", b"<html><body>target</body></html>"),
+        ],
+        gzip_members=True,
+    )
+    f = tmp_path / "seg.warc.gz"
+    f.write_bytes(raw)
+    pages = read_warc(spark, str(f))
+    rows = {r.url: r.redirect_to for r in pages.collect()}
+    assert rows == {f"{host}/old.html": f"{host}/new.html", f"{host}/new.html": None}
+
+    eng = CrawlEngine(
+        spark, pages,
+        CrawlConfig(start_url=f"{host}/old.html", max_rounds=5,
+                    use_bloom=False, parse_entries=False),
+    )
+    eng.run()
+    assert eng.crawl_order() == [f"{host}/old.html", f"{host}/new.html"]
+
+    out = str(tmp_path / "rt")
+    write_warc(pages, out).collect()
+    again = {r.url: r.redirect_to for r in read_warc(spark, out + "/*.warc.gz").collect()}
+    assert again == rows  # 301 Location survives the sink→source roundtrip

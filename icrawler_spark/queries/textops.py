@@ -977,8 +977,11 @@ def domain_stats(spark, sf_dir):
     """Per-domain curation rollup (the FineWeb/RefinedWeb domain table):
     doc/duplicate counts plus domain-level quality ratios. Float discipline:
     only exact BIGINT sums cross the aggregation (token/distinct/stopword
-    counts); the double ratios are computed once from the summed integers, so
-    Spark and DuckDB agree bit-for-bit regardless of reduction order.
+    counts), and the ratios are emitted as MICRO-UNIT BIGINTs (ratio * 1e6,
+    integer division) — the same ``_cents`` / ``quality_sum_micro`` discipline
+    as every other gated query, so no double ever crosses the oracle boundary
+    and Spark/DuckDB agree exactly regardless of either engine's float
+    formatting or reduction order.
     100 TB shape: one hash-shuffle on ``source`` with map-side partial
     aggregation; domains are ~10^7 keys, far below the doc count, and skewed
     mega-domains are exactly what AQE skew-split handles."""
@@ -1002,28 +1005,29 @@ def domain_stats(spark, sf_dir):
         F.sum("n_stop").alias("sum_stopwords"),
         F.sum("n_chars").alias("sum_chars"),
     )
+    dup_micro = F.expr("(1000000 * (n_docs - n_unique_texts)) div n_docs")
+    ttr_micro = F.expr("(1000000 * sum_distinct) div nullif(sum_tokens, 0)")
+    stop_micro = F.expr("(1000000 * sum_stopwords) div nullif(sum_tokens, 0)")
     return agg.select(
         "source",
         "n_docs",
         "n_unique_texts",
         "sum_tokens",
         "sum_chars",
-        ((F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs")).alias("dup_ratio"),
-        (F.col("sum_distinct") / F.col("sum_tokens")).alias("domain_ttr"),
-        (F.col("sum_stopwords") / F.col("sum_tokens")).alias("domain_stop_ratio"),
-        (
-            (F.col("sum_distinct") / F.col("sum_tokens")) * 2.0
-            + F.col("sum_stopwords") / F.col("sum_tokens")
-        ).alias("domain_quality"),
+        dup_micro.alias("dup_ratio_micro"),
+        ttr_micro.alias("domain_ttr_micro"),
+        stop_micro.alias("domain_stop_ratio_micro"),
+        (ttr_micro * F.lit(2) + stop_micro).alias("domain_quality_micro"),
     )
 
 
 DOMAIN_STATS_SQL = f"""
 SELECT source, n_docs, n_unique_texts, sum_tokens, sum_chars,
-       (n_docs - n_unique_texts) / n_docs AS dup_ratio,
-       sum_distinct / sum_tokens AS domain_ttr,
-       sum_stopwords / sum_tokens AS domain_stop_ratio,
-       (sum_distinct / sum_tokens) * 2.0 + sum_stopwords / sum_tokens AS domain_quality
+       (1000000 * (n_docs - n_unique_texts)) // n_docs AS dup_ratio_micro,
+       (1000000 * sum_distinct) // NULLIF(sum_tokens, 0) AS domain_ttr_micro,
+       (1000000 * sum_stopwords) // NULLIF(sum_tokens, 0) AS domain_stop_ratio_micro,
+       ((1000000 * sum_distinct) // NULLIF(sum_tokens, 0)) * 2
+         + (1000000 * sum_stopwords) // NULLIF(sum_tokens, 0) AS domain_quality_micro
 FROM (
   SELECT source,
          COUNT(*) AS n_docs,

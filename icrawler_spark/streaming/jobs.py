@@ -85,20 +85,37 @@ def streaming_page_ingest(pages: DataFrame, watermark: str = "24 hours") -> Data
     micro-batch, the standard streaming dropDuplicates contract; a crawl
     store keyed by content hash doesn't care). Output is the store-ready
     stream: one row per distinct content, simhash attached for
-    the downstream near-dup index merge. All expressions are stateless
-    codegen except the dropDuplicates state, which the watermark bounds —
-    at 10^10 pages/day state holds one (hash → seen) entry per distinct
-    page in the horizon, sharded by the hash across executors."""
+    the downstream near-dup index merge.
+
+    Two contracts worth naming because each fixes a silent failure mode:
+
+    - the content identity is ``md5`` over the RAW ``html`` bytes — never a
+      binary→string cast, which replaces invalid-UTF-8 sequences and would
+      collide two DISTINCT payloads that differ only in mis-encoded bytes
+      (real crawls contain them), silently dropping a page.  The SimHash
+      body still goes through the lossy cast deliberately: similarity is
+      defined over text, and near-dup recall doesn't care about byte-exact
+      identity.
+    - dedup state is ``dropDuplicatesWithinWatermark``, NOT plain
+      ``dropDuplicates``: with a key subset that excludes the event-time
+      column, plain streaming ``dropDuplicates`` never evicts state, so a
+      long-running ingest grows without bound.  WithinWatermark gives the
+      documented bounded-state semantics — one (hash → seen) entry per
+      distinct page inside the horizon, sharded by the hash across
+      executors, evicted as the watermark advances.  At 10^10 pages/day
+      with a 24 h horizon that is exactly one day's distinct-content set.
+
+    All other expressions are stateless codegen."""
     from ..queries.textops import simhash_expr
 
     body = F.coalesce(F.col("text"), F.col("html").cast("string")) if "text" in pages.columns else F.col("html").cast("string")
     enriched = (
         pages.withColumn("ts", F.col("warc_ts").cast("timestamp"))
-        .withColumn("content_hash", F.md5(F.col("html").cast("string")))
+        .withColumn("content_hash", F.md5(F.col("html")))
         .withColumn("simhash", simhash_expr(body))
     )
     return (
         enriched.withWatermark("ts", watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
         .select("url", "ts", "content_hash", "simhash", "html")
     )

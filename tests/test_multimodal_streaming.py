@@ -202,6 +202,37 @@ def test_streaming_page_ingest_dedup_and_simhash_parity(spark, tmp_path):
         assert r.simhash == want[r.url]  # stream == batch, bit-for-bit
 
 
+def test_streaming_page_ingest_hashes_raw_bytes(spark, tmp_path):
+    """Two payloads that differ ONLY in invalid-UTF-8 bytes must BOTH survive
+    exact dedup: the content hash is md5 over raw bytes, not over a lossy
+    binary→string cast (which replaces every invalid sequence with U+FFFD and
+    would collide the two)."""
+    import datetime as dt
+
+    from icrawler_spark.streaming.jobs import run_available_now, streaming_page_ingest
+
+    src = str(tmp_path / "raw_src")
+    ckpt = str(tmp_path / "raw_ckpt")
+    schema = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+
+    # identical printable prefix; the tails are DIFFERENT invalid-UTF-8 bytes,
+    # both of which decode (lossily) to the same U+FFFD replacement
+    p1 = b"<html>same prefix</html>\xff\xfe"
+    p2 = b"<html>same prefix</html>\xc0\xaf"
+    assert p1.decode("utf-8", errors="replace") == p2.decode("utf-8", errors="replace")
+
+    spark.createDataFrame(
+        [("https://raw.test/1", dt.datetime(2024, 5, 1, 0, 0, 0), p1, None, None),
+         ("https://raw.test/2", dt.datetime(2024, 5, 1, 0, 0, 1), p2, None, None)],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    run_available_now(spark, src, schema, streaming_page_ingest, ckpt, "raw_ingest_out")
+    out = spark.sql("SELECT url, content_hash FROM raw_ingest_out").collect()
+    assert {r.url for r in out} == {"https://raw.test/1", "https://raw.test/2"}
+    assert len({r.content_hash for r in out}) == 2
+
+
 def test_streaming_page_ingest_resumes_dedup_state(spark, tmp_path):
     """Kill-and-resume: after draining drop 1 with a file sink + checkpoint,
     a fresh availableNow run over drop 2 suppresses content already seen in

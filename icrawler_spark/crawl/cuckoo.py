@@ -33,8 +33,22 @@ Scale shape mirrors bloom: per-partition tables built executor-side in
 ``mapInPandas`` (bulk path vectorized — see ``add_many``), merged on the
 driver, broadcast back, applied as a vectorized pandas UDF. At 10^10 URLs
 the table is sharded by ``pmod(hash, n_shards)`` exactly like the bloom
-sizing note (bloom.py:20-24); merge requires equal geometry, which sharding
-by key guarantees.
+sizing note (bloom.py:20-24); merge requires an equal BUCKET count, which
+sharding by key guarantees.
+
+Overflow posture (drop-in parity with bloom): a bloom filter past its
+sizing degrades gracefully (fpp rises); a textbook cuckoo filter instead
+hard-fails once kicks exhaust near full load — an asymmetric failure mode
+for what is presented as a drop-in backend. This filter therefore
+AUTO-GROWS on overflow by widening each bucket's slot count (b: 4 → 8 →
+16 …). Bucket COUNT can never grow without the original keys (i1 takes
+fresh bits of h(x) that a stored fingerprint doesn't carry), but slot
+count can: lookups scan all slots of the same two candidate buckets, so
+fingerprints, deletes, and geometry-equal merges all stay valid, capacity
+doubles per growth, and the cost is the documented fpp degradation
+(~2·b/2^16 per doubling) — the same graceful contract as an overloaded
+bloom, and always correctness-safe here because "maybe seen" only routes
+into the exact anti-join.
 """
 
 from __future__ import annotations
@@ -83,26 +97,39 @@ class CuckooFilter:
         h1, h2 = _hashes(values)
         return (h1 & self.mask), _fingerprints(h2)
 
+    @property
+    def n_slots(self) -> int:
+        return self.table.shape[1]
+
+    def _grow(self) -> None:
+        """Overflow relief: double each bucket's slot count (see module
+        docstring — bucket count is frozen by the missing key bits, slot
+        count is not). Deterministic, geometry-merge-safe, fpp doubles."""
+        self.table = np.hstack(
+            [self.table, np.zeros((self.m, self.n_slots), dtype=np.uint16)]
+        )
+
     def _insert_one(self, idx: int, fp: int) -> None:
         """Single insert with the deterministic kick loop (slow path)."""
         i = np.uint64(idx)
         f = np.uint16(fp)
-        for kicks in range(self.MAX_KICKS):
-            row = self.table[int(i)]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = f
-                self.n_items += 1
-                return
-            # deterministic victim: function of the colliding fingerprint and
-            # the kick count only — rebuildable byte-identically anywhere.
-            slot = (int(f) + kicks) % _BUCKET
-            f, row[slot] = row[slot], f
-            i = _alt_index(np.array([i]), np.array([f], dtype=np.uint16), self.mask)[0]
-        raise RuntimeError(
-            f"cuckoo filter over capacity (m={self.m}, items={self.n_items}); "
-            "size capacity to the partition's URL count"
-        )
+        while True:
+            b = self.n_slots
+            for kicks in range(self.MAX_KICKS):
+                row = self.table[int(i)]
+                empty = np.flatnonzero(row == 0)
+                if len(empty):
+                    row[empty[0]] = f
+                    self.n_items += 1
+                    return
+                # deterministic victim: function of the colliding fingerprint
+                # and the kick count only — rebuildable byte-identically.
+                slot = (int(f) + kicks) % b
+                f, row[slot] = row[slot], f
+                i = _alt_index(np.array([i]), np.array([f], dtype=np.uint16), self.mask)[0]
+            # kicks exhausted ⇒ load too high for this slot width: widen and
+            # retry (the pending fingerprint lands in a fresh empty slot).
+            self._grow()
 
     # -- bulk API (mirrors BloomFilter) ----------------------------------------
 
@@ -142,8 +169,8 @@ class CuckooFilter:
         free = (self.table[si.astype(np.int64)] == 0).sum(axis=1)
         fits = rank < free
         # scatter the fitting items into their bucket's empty slots, one slot
-        # position at a time (≤ _BUCKET scatters, each fully vectorized)
-        for r in range(_BUCKET):
+        # position at a time (≤ n_slots scatters, each fully vectorized)
+        for r in range(self.n_slots):
             sel = fits & (rank == r)
             if not sel.any():
                 continue
@@ -199,7 +226,7 @@ class CuckooFilter:
         """OR-equivalent for cuckoo: re-insert every occupied slot of
         ``other``. The slot's own bucket index is one of the fingerprint's two
         candidates, so geometry-equal tables merge without the original keys."""
-        assert self.m == other.m, "cuckoo merge requires equal geometry"
+        assert self.m == other.m, "cuckoo merge requires an equal bucket count"
         occ_i, occ_slot = np.nonzero(other.table)
         fps = other.table[occ_i, occ_slot]
         if len(occ_i):
@@ -226,7 +253,10 @@ class CuckooFilter:
         obj = cls.__new__(cls)
         obj.m = int(m)
         obj.mask = np.uint64(m - 1)
-        obj.table = np.frombuffer(data[16:], dtype=np.uint16).reshape(int(m), _BUCKET).copy()
+        # slot count is implied by the payload length, so pre-growth blobs
+        # (b=4) and grown blobs round-trip through the same header
+        slots = (len(data) - 16) // (2 * int(m))
+        obj.table = np.frombuffer(data[16:], dtype=np.uint16).reshape(int(m), slots).copy()
         obj.n_items = int(n_items)
         return obj
 

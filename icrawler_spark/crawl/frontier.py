@@ -256,6 +256,8 @@ class CrawlEngine:
         self._initialized = False    # resume_or_init runs once per engine
         self._simhash_index: DataFrame | None = None  # (url, simhash) of all
                                                       # stored (non-dup) pages
+        self._corpus_urls: DataFrame | None = None  # pinned distinct corpus
+                                                    # urls (collect_images)
         self._last_big_round = False  # routing taken by the latest round (tests)
 
     # -- state plumbing --------------------------------------------------------
@@ -679,8 +681,18 @@ class CrawlEngine:
             )
             if self.images is not None:
                 cand = cand.join(self.images.select("url"), "url", "left_anti")
-            avail = self.pages.select("url").distinct().withColumn("_ok", F.lit(True))
-            delta = cand.join(avail, "url", "left").select(
+            # the distinct corpus-url set is crawl-invariant: compute the
+            # corpus-wide shuffle ONCE on first use and pin it (like the
+            # priority and host-budget tables) instead of re-shuffling the
+            # whole url column every round
+            if self._corpus_urls is None:
+                self._corpus_urls = (
+                    self.pages.select("url")
+                    .distinct()
+                    .withColumn("_ok", F.lit(True))
+                    .localCheckpoint(eager=True)
+                )
+            delta = cand.join(self._corpus_urls, "url", "left").select(
                 "url",
                 "page_url",
                 "kind",

@@ -610,6 +610,44 @@ def test_cuckoo_roundtrip_merge_delete_determinism():
     assert x1.might_contain_many(vals[:10]).all()
 
 
+def test_cuckoo_overflow_autogrows_instead_of_failing():
+    """A visited set that outgrows the configured capacity must DEGRADE like
+    bloom (higher fpp), never crash mid-crawl: on kick exhaustion the filter
+    widens each bucket's slot count (bucket count is frozen by the missing
+    key bits), so adds keep succeeding, no added value ever goes
+    false-negative, and deletes/serialization stay valid."""
+    from icrawler_spark.crawl.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=16)  # tiny geometry: m*4 slots ≈ 32
+    base_slots = cf.n_slots
+    vals = pd.Series([f"https://grow.test/{i}" for i in range(2000)])  # ~60× over
+    cf.add_many(vals)  # must not raise
+    assert cf.n_slots > base_slots
+    assert cf.n_items == 2000
+    assert cf.might_contain_many(vals).all()  # zero false negatives
+
+    # serialize → deserialize preserves the grown slot width bit-exactly
+    back = CuckooFilter.from_bytes(cf.to_bytes())
+    assert back.n_slots == cf.n_slots
+    assert back.to_bytes() == cf.to_bytes()
+    assert back.might_contain_many(vals).all()
+
+    # deletion still exact for added-once values
+    assert back.delete_many(vals[:50]).all()
+    assert back.might_contain_many(vals[50:]).all()
+
+    # growth is deterministic: same inserts ⇒ byte-identical table
+    dup = CuckooFilter(capacity=16)
+    dup.add_many(vals)
+    assert dup.to_bytes() == cf.to_bytes()
+
+    # merge across different slot widths (one shard grew, one did not)
+    small = CuckooFilter(capacity=16)
+    small.add_many(vals[:10])
+    merged = CuckooFilter.from_bytes(cf.to_bytes()).merge(small)
+    assert merged.might_contain_many(vals).all()
+
+
 def test_cuckoo_engine_matches_exact_only(spark, site, pages):
     """Same equality gate as bloom's: the cuckoo-routed crawl is bit-equal
     to the exact-anti-join-only crawl (false positives only ever cost a

@@ -14,9 +14,13 @@ Semantics are behavior-matched and golden-tested:
 - first non-empty text wins; fallback = first attempt; status ∈
   success / error / empty / needs_ocr / no_source (ref text_pipeline.py:550-595)
 
-PDF extraction is injectable (``pdf_extractor: bytes -> str``): pdfminer is
-not available in this sandbox, so like the reference's tests the extractor is
-provided by the caller; ``None`` → ``pdf_support_unavailable``.
+PDF extraction defaults to the from-scratch stdlib extractor
+(:func:`icrawler_spark.textpipe.pdf.extract_pdf_text` — Flate streams, text
+operators, ToUnicode CMaps; see that module's honest scope notes) and stays
+injectable (``pdf_extractor: bytes -> str``) so a pdfminer-class extractor
+can be swapped in where available; passing ``None`` explicitly disables PDF
+support (→ ``pdf_support_unavailable``), mirroring the reference's
+pdfminer-absent branch (ref text_pipeline.py:528-529).
 """
 
 from __future__ import annotations
@@ -26,10 +30,25 @@ from typing import Callable
 
 from ..functions.pure import decode_bytes
 from .normalize import extract_docx_text, html_dom_text, normalize_html_text, normalize_pdf_text
+from .pdf import extract_pdf_text
 
 DOCUMENT_PRIORITIES = {"docx": 3, "doc": 3, "word": 3, "pdf": 2, "html": 1, "text": 0}
 
 PdfExtractor = Callable[[bytes], str]
+
+# sentinel: "caller didn't choose" → use the built-in from-scratch extractor;
+# None stays meaningful as "no PDF support" (the reference's pdfminer-absent
+# status path, still exercised by tests). A class instance (not object())
+# so the check survives pickling into Spark executors.
+class _DefaultPdf:
+    pass
+
+
+_DEFAULT_PDF = _DefaultPdf()
+
+
+def _resolve_pdf(pdf_extractor) -> PdfExtractor | None:
+    return extract_pdf_text if isinstance(pdf_extractor, _DefaultPdf) else pdf_extractor
 
 
 def normalize_doc_type(declared: str | None, suffix: str) -> str | None:
@@ -82,9 +101,10 @@ def attempt_extract(
     data: bytes | None,
     declared_type: str | None,
     suffix: str = "",
-    pdf_extractor: PdfExtractor | None = None,
+    pdf_extractor: PdfExtractor | None = _DEFAULT_PDF,
 ) -> Attempt:
     """One document → (text, error, needs_ocr) (ref text_pipeline.py:486-547)."""
+    pdf_extractor = _resolve_pdf(pdf_extractor)
     if data is None:
         return Attempt(None, "file_missing", False, normalize_doc_type(declared_type, suffix))
     normalized = normalize_doc_type(declared_type, suffix) or (suffix.lower().lstrip(".") or None)
@@ -133,7 +153,7 @@ class EntryResult:
 
 def extract_best(
     docs: list[tuple[bytes | None, str | None, str]],
-    pdf_extractor: PdfExtractor | None = None,
+    pdf_extractor: PdfExtractor | None = _DEFAULT_PDF,
 ) -> EntryResult:
     """Per-entry candidate walk (ref text_pipeline.py:550-595): candidates in
     (priority desc, position asc) order; stop at first non-empty text."""

@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .extract import PdfExtractor, extract_best
+from .extract import _DEFAULT_PDF, PdfExtractor, _resolve_pdf, extract_best
 
 TEXTS_SCHEMA = StructType([
     StructField("entry_id", StringType()),
@@ -44,17 +44,22 @@ def url_suffix(url: str) -> str:
 
 
 def extract_entry_texts(
-    fetched_docs: DataFrame, pdf_extractor: PdfExtractor | None = None
+    fetched_docs: DataFrame, pdf_extractor: PdfExtractor | None = _DEFAULT_PDF
 ) -> DataFrame:
     """fetched_docs(entry_id, url, doc_type, content, pos) → texts table.
 
     ``pos`` is the document position within the entry (discovery order) —
     carried as data so the priority walk is deterministic under partitioning.
+    PDF candidates go through the built-in from-scratch extractor by default
+    (``textpipe.pdf``); pass ``None`` to disable or a callable to override.
     """
     required = {"entry_id", "url", "doc_type", "content", "pos"}
     missing = required - set(fetched_docs.columns)
     if missing:
         raise ValueError(f"extract_entry_texts: missing columns {sorted(missing)}")
+    # resolve the default driver-side so the executor closure captures a
+    # plain module-level callable (pickled by reference)
+    pdf_extractor = _resolve_pdf(pdf_extractor)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos")

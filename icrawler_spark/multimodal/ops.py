@@ -7,12 +7,15 @@ cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly and
 partition by a size-aware key so one executor never holds a skewed batch of
 huge videos).
 
-STUB NOTE: the actual codecs (JPEG decode, audio resample, video frame
-extraction) are NOT available in this container. ``_default_image_decoder``
-raises ``NotImplementedError``; tests and the sandbox path inject
-``deterministic_fake_decoder`` which derives pseudo-features from the bytes
-(md5-seeded) so the full Spark plumbing is exercised end-to-end. On a real
-cluster call ``set_image_decoder(pil_decoder)`` once per session.
+Codec posture: PNG is decoded FOR REAL by the from-scratch stdlib codec
+(:mod:`icrawler_spark.multimodal.png` — chunk framing, all five scanline
+filters, palette expansion); the remaining codecs (JPEG decode, audio
+resample, video frame extraction) are NOT available in this container, so
+``_default_image_decoder`` routes PNG payloads to the real decoder and
+raises ``NotImplementedError`` for the rest. Tests also exercise
+``deterministic_fake_decoder`` (md5-seeded pseudo-features) for the
+plumbing-only path. On a real cluster call ``set_image_decoder(pil_decoder)``
+once per session to cover every format.
 """
 
 from __future__ import annotations
@@ -67,9 +70,14 @@ ImageDecoder = Callable[[bytes], "tuple[int, int, list[float]]"]
 
 
 def _default_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import png_image_decoder
+
+        return png_image_decoder(data)
     raise NotImplementedError(
-        "No image codec in this environment - inject one with "
-        "set_image_decoder() (e.g. a PIL-based decoder on a real cluster)"
+        "No codec for this format in this environment (PNG decodes natively) "
+        "- inject one with set_image_decoder() (e.g. a PIL-based decoder on "
+        "a real cluster)"
     )
 
 

@@ -65,9 +65,13 @@ def test_decode_image_features_fake(spark, media):
 
 
 def test_decode_image_features_stub_errors_captured(spark, media):
-    # default decoder raises NotImplementedError → captured as data, not raised
+    # default decoder: PNG routes to the real from-scratch codec (this
+    # payload is PNG-magic + garbage → PngError); everything else raises
+    # NotImplementedError — all captured as data, never raised
     out = {r.media_id: r for r in decode_image_features(media).collect()}
-    assert all(r.decode_error == "NotImplementedError" for r in out.values())
+    assert out[2].decode_error == "PngError"
+    for mid in (1, 3, 4):
+        assert out[mid].decode_error == "NotImplementedError"
 
 
 def test_frame_sample_plan(spark):
@@ -277,3 +281,138 @@ def test_streaming_page_ingest_resumes_dedup_state(spark, tmp_path):
     final = {r.url for r in spark.read.parquet(out).collect()}
     assert len(final) == 3 and "https://r.test/dup" not in final and "https://r.test/new" in final
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_png_roundtrip_all_color_types():
+    """encode → decode is exact for gray / gray+alpha / RGB / RGBA."""
+    import numpy as np
+
+    from icrawler_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == (13, 17, c)
+        assert (back == img).all(), f"channels={c}"
+
+
+def test_png_decoder_filters_and_palette():
+    """Decode a PNG using every filter type (1-4) and a palette image —
+    hand-built chunk streams, verified against the spec's filter math."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from icrawler_spark.multimodal.png import decode_png
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # 3x4 grayscale, one row per filter type: Sub, Up, Average, Paeth
+    w, h = 4, 4
+    rows = [
+        bytes([1, 10, 5, 5, 5]),        # Sub: 10,15,20,25
+        bytes([2, 1, 1, 1, 1]),         # Up:  11,16,21,26
+        bytes([3, 10, 10, 10, 10]),     # Avg: a=(0/…) prev row known
+        bytes([4, 1, 2, 3, 4]),         # Paeth
+    ]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"".join(rows))
+    ) + chunk(b"IEND", b"")
+    img = decode_png(data)[:, :, 0].astype(int)
+    assert img[0].tolist() == [10, 15, 20, 25]
+    assert img[1].tolist() == [11, 16, 21, 26]
+    # Avg row: x[i] = raw + (left + up)//2
+    r2 = []
+    for i in range(4):
+        left = r2[i - 1] if i else 0
+        r2.append((10 + (left + img[1][i]) // 2) % 256)
+    assert img[2].tolist() == r2
+    # Paeth row: standard predictor
+    r3 = []
+    for i in range(4):
+        a = r3[i - 1] if i else 0
+        b = img[2][i]
+        c = img[2][i - 1] if i else 0
+        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        r3.append(([1, 2, 3, 4][i] + pred) % 256)
+    assert img[3].tolist() == r3
+
+    # palette image: 2x1, indices 0,1 → red, blue
+    ihdr_p = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    idat_p = zlib.compress(b"\x00\x00\x01")
+    pdata = sig + chunk(b"IHDR", ihdr_p) + chunk(b"PLTE", plte) + chunk(
+        b"IDAT", idat_p
+    ) + chunk(b"IEND", b"")
+    pimg = decode_png(pdata)
+    assert pimg.shape == (1, 2, 3)
+    assert pimg[0, 0].tolist() == [255, 0, 0] and pimg[0, 1].tolist() == [0, 0, 255]
+
+
+def test_png_garbage_and_out_of_scope_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from icrawler_spark.multimodal.png import PngError, decode_png, encode_png
+
+    for bad in (b"", b"not a png", b"\x89PNG\r\n\x1a\x00rest"):
+        with pytest.raises(PngError):
+            decode_png(bad)
+    # corrupt CRC
+    good = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    good[20] ^= 0xFF
+    with pytest.raises(PngError):
+        decode_png(bytes(good))
+    # interlaced → honestly unsupported
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body)
+        )
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    inter = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(PngError):
+        decode_png(inter)
+
+
+def test_decode_image_features_real_png_default_decoder(spark):
+    """The multimodal decode stage runs REAL PNG decoding with NO injected
+    decoder; non-PNG payloads degrade to decode_error rows, never kill the
+    stage."""
+    import numpy as np
+
+    from icrawler_spark.multimodal.ops import decode_image_features
+    from icrawler_spark.multimodal.png import encode_png
+
+    solid = np.full((8, 8, 3), 255, dtype=np.uint8)          # all-white RGB
+    grad = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (4, 1))  # gray ramp
+    rows = [
+        (1, bytearray(encode_png(solid))),
+        (2, bytearray(encode_png(grad))),
+        (3, bytearray(b"\xff\xd8\xffJPEG-ish")),   # jpeg: no codec → error
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_image_features(df).collect()}
+
+    assert out[1].width == 8 and out[1].height == 8 and out[1].decode_error is None
+    feats1 = out[1].features
+    assert abs(feats1[0] - 1.0) < 1e-5 and abs(feats1[1] - 1.0) < 1e-5  # white means
+    assert feats1[4] < 1e-6                                            # zero std
+    assert out[2].width == 16 and out[2].height == 4
+    assert out[2].features[4] > 0.1                                    # ramp has contrast
+    assert out[3].decode_error == "NotImplementedError"
+    assert out[4].decode_error == "NotImplementedError"  # NULL → b"" → unknown format

@@ -158,7 +158,17 @@ def ann_lsh_topk_from_vectors(e, query_vec_id=0, k=10):
     DATA: it finds genuinely-near neighbors; on corpora whose nearest
     neighbors are not near, use ``knn_brute_force``. The single-bucket
     variant this replaces measured 0.58 planted / 0.045 unstructured on the
-    same corpora (VERDICT r3 item 8)."""
+    same corpora (VERDICT r3 item 8).
+
+    ROUTING: this is NOT the default ANN operator. ``ivf_kmeans_topk``
+    measures label-free recall@10 **0.945** on the same unstructured
+    embeddings (learned centroids adapt to the data; fixed hyperplanes
+    cannot) at comparable cost — reach for hyperplane-LSH only when an
+    index must be built in one streaming pass with no training stage
+    (bucketing is a stateless per-row expression) or when the corpus is
+    known to contain genuinely-near targets (dedup-grade cosine ≥ 0.98,
+    where this measures ≥ 0.86). The bench promotes ``ivf_kmeans_topk``
+    as the headline ANN query accordingly."""
     probes = F.concat(
         F.array(F.col("bucket")),
         F.transform(
@@ -180,7 +190,9 @@ def ann_lsh_topk_from_vectors(e, query_vec_id=0, k=10):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """ANN query via multi-probe LSH — see ``ann_lsh_topk_from_vectors``."""
+    """ANN query via multi-probe LSH — see ``ann_lsh_topk_from_vectors``
+    (including its ROUTING note: ``ivf_kmeans_topk`` is the default ANN
+    operator; this one exists for its train-free streaming-index niche)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec().alias("v"), _lsh_bucket(_vec()).alias("bucket")
     )

@@ -16,9 +16,14 @@ DATA — every frontier row has ``(discovered_round, discovery_pos)`` where
 discovery_pos is the global append position: new links are ranked by
 (parent discovery_pos, link position in page) exactly like the reference's
 append loop (pbc_monitor.py:249-254, first-wins dedup). Processing order =
-sort by (discovered_round, discovery_pos); never partition order. Large
-rounds assign positions distributively (range-partition + per-partition
-offsets) instead of a single-partition window.
+sort by (discovered_round, discovery_pos); never partition order. Small
+rounds assign DENSE positions with one window; big rounds assign SPARSE
+but order-exact positions with NO shuffle of the links at all
+(``next_pos + prefix_offset[parent] + link_pos + 1`` — see
+``_assign_positions``): every consumer sorts by position value, none
+indexes by it, so density is the cheap thing to trade for the one
+per-round all-links exchange that profiling showed is a pure serial term
+on a shared memory bus.
 
 Seen-set: an *incremental* Bloom filter (only each round's batch is hashed,
 built per-partition on executors and OR-merged) routes the definitely-new
@@ -258,6 +263,7 @@ class CrawlEngine:
                                                       # stored (non-dup) pages
         self._corpus_urls: DataFrame | None = None  # pinned distinct corpus
                                                     # urls (collect_images)
+        self._pos_span = None  # id-space consumed by a sparse big round
         self._last_big_round = False  # routing taken by the latest round (tests)
 
     # -- state plumbing --------------------------------------------------------
@@ -431,28 +437,51 @@ class CrawlEngine:
 
     # -- helpers ---------------------------------------------------------------
 
-    def _assign_positions(self, links: DataFrame, big_round: bool) -> DataFrame:
-        """Dense global FIFO positions ordered by (parent_pos, link_pos).
+    # sparse big-round positions fall back to the dense chunked window once
+    # the id space nears the entries _src_pos headroom (pos * 100000 +
+    # entry_pos must stay inside a long); 2^45 leaves ~280x slack
+    _POS_SPARSE_CEILING = 1 << 45
+    # broadcast the per-parent offset table only when provably small
+    # (same posture as the fetch join's size gate)
+    _POS_BROADCAST_PARENTS = 4_000_000
 
-        Small rounds: one window. Big rounds: the distributed dense-rank,
-        but with ARITHMETIC chunk ids instead of repartitionByRange —
-        ``parent_pos`` values are dense within a span known from one cheap
-        agg over the pin, so ``(parent_pos - min) div per_chunk`` is an
-        order-monotone partition key computed map-side. That removes, per
-        big round, (a) the range partitioner's sampling pass and (b) one
-        full-row shuffle: Window.partitionBy on a range-partitioned df
-        does NOT satisfy the window's hash requirement, so the r3 path
-        paid range-exchange + hash-exchange; the chunked window pays one
-        hash-exchange. The r4 stage profile measured the positions stage
-        at ~53 s/big-round REGARDLESS of core count (55.9 s @ 4c vs
-        52.5 s @ 16c at 1.28M pages) — shuffle volume through one shared
-        disk is the serial term, so halving shuffled volume attacks the
-        whole-job scaling gap directly.
+    def _assign_positions(self, links: DataFrame, big_round: bool) -> DataFrame:
+        """Global FIFO positions ordered by (parent_pos, link_pos).
+
+        Small rounds: one dense window (export/oracle-parity paths live
+        here and keep exact dense positions). Big rounds: NO shuffle of
+        the candidate links at all — the r4 chunked dense-rank still paid
+        one full-links hash exchange, and the stage profile measured the
+        positions stage at ~53 s/big-round REGARDLESS of core count
+        (55.9 s @ 4c vs 52.5 s @ 16c at 1.28M pages): shuffle volume
+        through one shared memory bus is a pure serial term, so the only
+        move that transfers to a fleet is not shuffling.
+
+        The order consumers (politeness window, FIFO batch rank, BFS
+        export sort, resume's max()) compare position VALUES; none does
+        index arithmetic over them — so big rounds trade density for a
+        shuffle-free ORDER-EXACT embedding:
+
+            discovery_pos = next_pos + offset[parent] + (link_pos + 1)
+
+        where ``offset`` is the running sum of per-parent slot widths
+        (``max(link_pos)+2``; +2 because redirect links carry link_pos
+        = -1) over the P-row parent table — P = this round's fetched
+        pages, 10-100x smaller than the links. The per-parent stats are
+        one map-side-combined agg (P rows cross the wire), the prefix sum
+        is a window over those P rows, and the offsets join back onto the
+        links as a BROADCAST (size-gated) — the links side never moves.
+        Positions are near-dense (gaps only where candidate links were
+        deduped/seen), the round consumes ``span = Σ slots ≈ raw link
+        count`` ids, and a ceiling guard falls back to the dense chunked
+        window long before sparse ids could overflow the entries
+        ``_src_pos`` arithmetic.
 
         The candidate links are pinned BEFORE any of this: the stats agg
-        and the window would otherwise re-execute the whole parse →
-        dedup-window → bloom → anti-join lineage (measured ~45 s/round at
-        400k pages — half the round wall)."""
+        would otherwise re-execute the whole parse → dedup-window → bloom
+        → anti-join lineage (measured ~45 s/round at 400k pages — half
+        the round wall)."""
+        self._pos_span = None  # dense paths advance _next_pos by row count
         order = [F.asc("parent_pos"), F.asc("link_pos")]
         if not big_round:
             w = Window.orderBy(*order)
@@ -460,15 +489,64 @@ class CrawlEngine:
                 "discovery_pos",
                 (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
             )
-        parts = max(self.cfg.n_host_shards, 1)
         pinned = links.localCheckpoint(eager=True)
-        # two cheap map-side-combined aggs over the pin (order-key span,
-        # then per-chunk counts) replace sampling + a full-row shuffle
+        # per-parent slot widths: map-side combine collapses the links to
+        # P rows before the (only) exchange in this path
+        pstats = pinned.groupBy("parent_pos").agg(
+            (F.max("link_pos") + F.lit(2)).cast("long").alias("_slots")
+        )
+        wpar = (
+            Window.orderBy(F.asc("parent_pos"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        parents = pstats.select(
+            "parent_pos",
+            F.coalesce(F.sum("_slots").over(wpar), F.lit(0)).cast("long").alias("_off"),
+            "_slots",
+        ).localCheckpoint(eager=True)
+        stats = parents.agg(
+            F.count(F.lit(1)).alias("p"),
+            F.max(F.col("_off") + F.col("_slots")).alias("span"),
+        ).collect()[0]
+        if not stats.p:
+            # all candidates were deduped/seen — nothing to position
+            w = Window.orderBy(*order)
+            return pinned.withColumn(
+                "discovery_pos",
+                (F.row_number().over(w) + F.lit(self._next_pos - 1)).cast("long"),
+            )
+        span = int(stats.span)
+        if self._next_pos + span >= self._POS_SPARSE_CEILING:
+            return self._assign_positions_dense_chunked(pinned, order)
+        self._pos_span = span
+        right = (
+            F.broadcast(parents)
+            if int(stats.p) <= self._POS_BROADCAST_PARENTS
+            else parents
+        )
+        return pinned.join(right, "parent_pos").select(
+            *pinned.columns,
+            (
+                F.lit(self._next_pos).cast("long")
+                + F.col("_off")
+                + F.col("link_pos")
+                + F.lit(1)
+            ).cast("long").alias("discovery_pos"),
+        )
+
+    def _assign_positions_dense_chunked(self, pinned: DataFrame, order) -> DataFrame:
+        """Dense distributed rank (the r4 path, kept as the id-ceiling
+        fallback): ARITHMETIC chunk ids instead of repartitionByRange —
+        ``parent_pos`` spans a range known from one cheap agg, so
+        ``(parent_pos - min) div per_chunk`` is an order-monotone partition
+        key computed map-side; the chunked window pays one hash exchange of
+        the links (vs range-exchange + hash-exchange for a naive ranged
+        window)."""
+        parts = max(self.cfg.n_host_shards, 1)
         mn_row = pinned.agg(
             F.min("parent_pos").alias("mn"), F.max("parent_pos").alias("mx")
         ).collect()[0]
         if mn_row.mn is None:
-            # all candidates were deduped/seen
             w = Window.orderBy(*order)
             return pinned.withColumn(
                 "discovery_pos",
@@ -968,7 +1046,9 @@ class CrawlEngine:
             n_dl = dl_metrics["files_downloaded"]
             n_reused = dl_metrics["files_reused"]
         n_new = self._n_pending - n_deferred
-        self._next_pos += n_new
+        # dense rounds consume exactly n_new ids; sparse big rounds consume
+        # the span _assign_positions reserved (near-dense: ≈ raw link count)
+        self._next_pos += n_new if self._pos_span is None else self._pos_span
 
         # per-partition lineage (north_rule): which salted shard carried how
         # many fetches this round — the skew audit trail. Checkpoint mode

@@ -374,10 +374,27 @@ def test_high_fanout_round0_routes_distributed(spark):
     m = eng.run()
     assert m[0].links_discovered > 200
     assert eng._last_big_round is True
-    # distributed positions must still be dense and FIFO-unique
-    pend = eng.pending.select("discovery_pos").collect()
-    got = sorted(r.discovery_pos for r in pend)
-    assert got == list(range(got[0], got[0] + len(got)))
+    # sparse big-round positions must be FIFO-unique and ORDER-IDENTICAL to
+    # the dense small-round path over the same input (density itself is
+    # traded away for the shuffle-free assignment — no consumer indexes by
+    # position, they all sort by it)
+    pend = [(r.discovery_pos, r.url) for r in eng.pending.collect()]
+    assert len({p for p, _ in pend}) == len(pend)  # unique
+    dense = CrawlEngine(
+        spark,
+        synthetic_pages_df(spark, n_pages=400, n_hosts=37, links_per_page=12),
+        CrawlConfig(
+            start_url="https://hot.example.test/p/0.html",
+            max_rounds=1,
+            parse_entries=False,
+            big_round_threshold=10**9,
+        ),
+        seeds_df=synthetic_seed_df(spark, n_pages=400, stride=20, n_hosts=37),
+    )
+    dense.run()
+    assert dense._last_big_round is False
+    dense_pend = [(r.discovery_pos, r.url) for r in dense.pending.collect()]
+    assert [u for _, u in sorted(pend)] == [u for _, u in sorted(dense_pend)]
 
 
 def test_multi_snapshot_corpus_does_not_fan_out_metrics(spark, site, pages):

@@ -154,3 +154,76 @@ def test_compact_tables_collapses_shared_urls(spark):
     assert ("eA", "http://x/shared.pdf") in docs
     assert ("eA", "http://x/b.html") in docs
     assert len([d for d in docs if d[1] == "http://x/shared.pdf"]) == 1
+
+
+def test_normalize_filenames_maintenance(spark, tmp_path):
+    """ref scripts/normalize_filenames.py parity: downloaded files are
+    renamed to the canonical structured filename, local_path is updated in
+    the entry documents, collisions and missing files are skipped, a .bak
+    is written, and dry-run changes nothing."""
+    import json
+    import os
+
+    from icrawler_spark.crawl.maintenance import apply_normalize_filenames
+    from icrawler_spark.functions.pure import structured_filename
+
+    dl = tmp_path / "downloads"
+    dl.mkdir()
+    # doc 1: wrong name on disk → rename
+    (dl / "messy-name.pdf").write_bytes(b"pdf-bytes")
+    # docs 2+3: DIFFERENT urls that normalize to the SAME target → second skips
+    (dl / "old_b1.doc").write_bytes(b"b1")
+    (dl / "old_b2.doc").write_bytes(b"b2")
+    # doc 4: already canonical → untouched
+    canon4 = structured_filename("https://h.test/ok/file4.html", "html")
+    (dl / canon4).write_bytes(b"ok")
+
+    state = {
+        "entries": [
+            {"title": "甲", "remark": "", "serial": 1, "documents": [
+                {"url": "https://h.test/a/doc%201.pdf", "type": "pdf",
+                 "downloaded": True, "local_path": "downloads/messy-name.pdf"},
+            ]},
+            {"title": "乙", "remark": "", "serial": 2, "documents": [
+                {"url": "https://h.test/b?x=1", "type": "doc",
+                 "downloaded": True, "local_path": "downloads/old_b1.doc"},
+                {"url": "https://h.test/b/?x=1", "type": "doc",
+                 "downloaded": True, "local_path": "downloads/old_b2.doc"},
+            ]},
+            {"title": "丙", "remark": "", "serial": 3, "documents": [
+                {"url": "https://h.test/ok/file4.html", "type": "html",
+                 "downloaded": True, "local_path": f"downloads/{canon4}"},
+                {"url": "https://h.test/never.pdf", "type": "pdf",
+                 "downloaded": False, "local_path": None},
+                {"url": "https://h.test/gone.pdf", "type": "pdf",
+                 "downloaded": True, "local_path": "downloads/vanished.pdf"},
+            ]},
+        ]
+    }
+    sp = tmp_path / "state.json"
+    sp.write_text(json.dumps(state, ensure_ascii=False))
+
+    # dry-run: nothing moves, state unchanged
+    before = sp.read_text()
+    counters = apply_normalize_filenames(spark, str(sp), dry_run=True)
+    assert counters["renamed"] >= 1
+    assert sp.read_text() == before
+    assert (dl / "messy-name.pdf").exists()
+
+    counters = apply_normalize_filenames(spark, str(sp))
+    exp1 = structured_filename("https://h.test/a/doc%201.pdf", "pdf")
+    assert (dl / exp1).exists() and not (dl / "messy-name.pdf").exists()
+    assert counters["already_ok"] == 1
+    assert counters["skipped"] == 2  # the collision loser + the missing file
+    assert os.path.exists(str(sp) + ".bak")
+
+    after = json.loads(sp.read_text())
+    docs = {d["url"]: d for e in after["entries"] for d in e["documents"]}
+    assert docs["https://h.test/a/doc%201.pdf"]["local_path"] == f"downloads/{exp1}"
+    # exactly one of the colliding pair got the canonical target
+    tgt = structured_filename("https://h.test/b?x=1", "doc")
+    winners = [u for u in ("https://h.test/b?x=1", "https://h.test/b/?x=1")
+               if docs[u]["local_path"] == f"downloads/{tgt}"]
+    assert len(winners) == 1
+    # missing file's record untouched
+    assert docs["https://h.test/gone.pdf"]["local_path"] == "downloads/vanished.pdf"

@@ -338,15 +338,34 @@ class CrawlEngine:
         return cuckoo_mod if self.cfg.seen_filter == "cuckoo" else bloom_mod
 
     def _sketch_path(self, rnd: int) -> str:
-        """Per-round serialized seen-filter blob, keyed by backend kind so a
-        config change between runs can never deserialize the wrong format."""
+        """Per-round serialized seen-filter blob, keyed by backend kind AND
+        key derivation (h64 = xxhash64 transport keys) so a config or format
+        change between runs can never deserialize-and-probe the wrong
+        content — an absent blob falls back to a rebuild from visited."""
         return os.path.join(
-            self.store.root, f"round={rnd:06d}", f"seen_sketch_{self.cfg.seen_filter}.bin"
+            self.store.root,
+            f"round={rnd:06d}",
+            f"seen_sketch_{self.cfg.seen_filter}_h64.bin",
         )
+
+    @staticmethod
+    def _sketch_keys(df: DataFrame, col: str = "url") -> DataFrame:
+        """Sketch transport keys: the sketch is built over and probed with
+        ``xxhash64(url)`` LONGS computed JVM-side, not the url strings — the
+        Arrow hop into the sketch's pandas UDFs then carries 8 bytes/row
+        instead of a ~60-byte url (the prefilter over a 15M-candidate big
+        round was profiled as part of the memory-bus-bound serial term). A
+        64-bit collision only makes a never-seen url inherit "maybe seen"
+        and take the exact anti-join — the routing contract already absorbs
+        that; no false negative is possible because every seen url's key IS
+        inserted."""
+        return df.select(F.xxhash64(F.col(col)).alias("_sk"))
 
     def _bloom_add_batch(self, batch: DataFrame) -> None:
         cfg = self.cfg
-        delta = self._sketch_mod.build_filter(batch, "url", cfg.bloom_capacity, cfg.bloom_fpp)
+        delta = self._sketch_mod.build_filter(
+            self._sketch_keys(batch), "_sk", cfg.bloom_capacity, cfg.bloom_fpp
+        )
         if self._bloom is None:
             self._bloom = delta
         else:
@@ -413,7 +432,10 @@ class CrawlEngine:
                             self._bloom = self._sketch_mod.Filter.from_bytes(fh.read())
                     else:
                         self._bloom = self._sketch_mod.build_filter(
-                            self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                            self._sketch_keys(self.visited),
+                            "_sk",
+                            self.cfg.bloom_capacity,
+                            self.cfg.bloom_fpp,
                         )
                 self._round = last + 1
                 return self._round
@@ -914,7 +936,10 @@ class CrawlEngine:
                 # routes definitely-new links around the exact anti-join
                 bc = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
                 self._bloom_bc = bc
-                flagged = self._sketch_mod.prefilter_unseen(new_links, "url", bc)
+                # probe with the xxhash64 transport key (8 bytes/row through
+                # Arrow instead of the url string — see _sketch_keys)
+                keyed = new_links.withColumn("_sk", F.xxhash64(F.col("url")))
+                flagged = self._sketch_mod.prefilter_unseen(keyed, "_sk", bc).drop("_sk")
                 definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
                 maybe = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
                 survivors = maybe.join(self.visited.select("url"), "url", "left_anti")
@@ -1192,12 +1217,18 @@ class CrawlEngine:
             if self.cfg.seen_filter == "cuckoo":
                 import pandas as pd
 
-                removed = pd.Series([r.url for r in hit.collect()])
+                # delete by the same xxhash64 transport key the inserts used
+                removed = pd.Series(
+                    [r._sk for r in self._sketch_keys(hit).collect()]
+                )
                 found = self._bloom.delete_many(removed)
                 assert found.all(), "visited url missing from cuckoo filter"
             else:
                 self._bloom = self._sketch_mod.build_filter(
-                    self.visited, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                    self._sketch_keys(self.visited),
+                    "_sk",
+                    self.cfg.bloom_capacity,
+                    self.cfg.bloom_fpp,
                 )
         return n
 

@@ -695,7 +695,7 @@ def test_seen_sketch_checkpointed_and_loaded_on_resume(spark, site, pages, tmp_p
     CrawlEngine(
         spark, pages, CrawlConfig(start_url=START, max_rounds=1, checkpoint_dir=ckpt)
     ).run()
-    blobs = glob.glob(os.path.join(ckpt, "round=*", "seen_sketch_bloom.bin"))
+    blobs = glob.glob(os.path.join(ckpt, "round=*", "seen_sketch_bloom_h64.bin"))
     assert blobs, "sketch blob not committed with the round"
 
     # resume must NOT rebuild: poison build_filter across resume_or_init only
@@ -709,8 +709,13 @@ def test_seen_sketch_checkpointed_and_loaded_on_resume(spark, site, pages, tmp_p
     real = bloom_mod.build_filter
     monkeypatch.setattr(bloom_mod, "build_filter", _boom)
     resumed.resume_or_init()
+    # the sketch holds xxhash64 transport keys, so membership probes use the
+    # same derivation the engine inserts with
+    from pyspark.sql import functions as F
+
+    start_key = spark.range(1).select(F.xxhash64(F.lit(START)).alias("k")).collect()[0].k
     assert resumed._bloom is not None and resumed._bloom.might_contain_many(
-        pd.Series([START])
+        pd.Series([start_key])
     ).all()
     monkeypatch.setattr(bloom_mod, "build_filter", real)
     resumed.run()
